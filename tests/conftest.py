@@ -1,0 +1,28 @@
+"""Test harness configuration.
+
+Tests run on CPU with 8 virtual XLA devices so multi-chip sharding logic is
+exercised without TPU hardware (SURVEY.md §4). Must run before jax imports.
+"""
+
+import os
+
+# The environment may pre-import jax with a TPU plugin at interpreter boot
+# (sitecustomize), so plain env vars are too late; jax.config still works as
+# long as no backend has been initialized yet.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
