@@ -1,0 +1,149 @@
+"""MANO LBS tests: numpy oracle parity + geometric invariants."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from cs_vit_tpu.mano import ManoLayer, sh_joint_regressor, synthetic_assets
+
+
+def numpy_lbs_oracle(assets, betas, global_orient, hand_pose, flat_hand_mean=False):
+    """Independent numpy implementation of the SMPL/MANO forward model."""
+    B = betas.shape[0]
+    J = 16
+    full_pose = np.concatenate([global_orient, hand_pose], axis=-1)
+    if not flat_hand_mean:
+        full_pose = full_pose + np.concatenate([np.zeros(3), assets.hands_mean])
+
+    v_shaped = assets.v_template[None] + np.einsum(
+        "bl,vdl->bvd", betas, assets.shapedirs
+    )
+    joints = np.einsum("jv,bvd->bjd", assets.j_regressor, v_shaped)
+
+    rot = Rotation.from_rotvec(full_pose.reshape(-1, 3)).as_matrix().reshape(B, J, 3, 3)
+    pose_feature = (rot[:, 1:] - np.eye(3)).reshape(B, -1)
+    v_posed = v_shaped + (pose_feature @ assets.posedirs).reshape(B, -1, 3)
+
+    parents = assets.parents
+    # world transforms
+    G = np.zeros((B, J, 4, 4))
+    for j in range(J):
+        local = np.zeros((B, 4, 4))
+        local[:, :3, :3] = rot[:, j]
+        rel = joints[:, j] if j == 0 else joints[:, j] - joints[:, parents[j]]
+        local[:, :3, 3] = rel
+        local[:, 3, 3] = 1.0
+        G[:, j] = local if j == 0 else G[:, parents[j]] @ local
+
+    posed_joints = G[:, :, :3, 3].copy()
+
+    # subtract rest joint contribution
+    for j in range(J):
+        jh = np.concatenate([joints[:, j], np.zeros((B, 1))], axis=-1)
+        G[:, j, :, 3] -= np.einsum("bik,bk->bi", G[:, j], jh)
+
+    T = np.einsum("vj,bjik->bvik", assets.lbs_weights, G)
+    vh = np.concatenate([v_posed, np.ones((B, v_posed.shape[1], 1))], axis=-1)
+    verts = np.einsum("bvik,bvk->bvi", T, vh)[..., :3]
+    return verts, posed_joints
+
+
+@pytest.fixture(scope="module")
+def assets():
+    return synthetic_assets(seed=3)
+
+
+def random_inputs(rng, B=4):
+    betas = rng.normal(scale=0.5, size=(B, 10)).astype(np.float32)
+    go = rng.normal(scale=0.6, size=(B, 3)).astype(np.float32)
+    hp = rng.normal(scale=0.3, size=(B, 45)).astype(np.float32)
+    return betas, go, hp
+
+
+def test_lbs_matches_numpy_oracle(assets, rng):
+    betas, go, hp = random_inputs(rng)
+    layer = ManoLayer(assets, flat_hand_mean=False)
+    out = layer(jnp.asarray(betas), jnp.asarray(go), jnp.asarray(hp))
+    ref_v, ref_j = numpy_lbs_oracle(assets, betas, go, hp, flat_hand_mean=False)
+    np.testing.assert_allclose(np.asarray(out["vertices"]), ref_v, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["joints"]), ref_j, atol=2e-5)
+
+
+def test_lbs_flat_hand_mean_flag(assets, rng):
+    betas, go, hp = random_inputs(rng)
+    layer = ManoLayer(assets, flat_hand_mean=True)
+    out = layer(jnp.asarray(betas), jnp.asarray(go), jnp.asarray(hp))
+    ref_v, _ = numpy_lbs_oracle(assets, betas, go, hp, flat_hand_mean=True)
+    np.testing.assert_allclose(np.asarray(out["vertices"]), ref_v, atol=2e-5)
+
+
+def test_rest_pose_is_template(assets):
+    """Zero pose (with flat mean) and zero betas -> exactly the template."""
+    layer = ManoLayer(assets, flat_hand_mean=True)
+    out = layer(jnp.zeros((1, 10)), jnp.zeros((1, 3)), jnp.zeros((1, 45)))
+    np.testing.assert_allclose(
+        np.asarray(out["vertices"][0]), assets.v_template, atol=1e-5
+    )
+
+
+def test_global_orient_rotation_equivariance(assets, rng):
+    """Rotating global_orient rotates the whole mesh about the root joint."""
+    betas, _, hp = random_inputs(rng, B=1)
+    layer = ManoLayer(assets, flat_hand_mean=True)
+    base = layer(jnp.asarray(betas), jnp.zeros((1, 3)), jnp.asarray(hp))
+
+    aa = np.asarray([[0.3, -0.7, 0.2]], dtype=np.float32)
+    rot = Rotation.from_rotvec(aa[0]).as_matrix()
+    rotated = layer(jnp.asarray(betas), jnp.asarray(aa), jnp.asarray(hp))
+
+    root = np.asarray(base["joints"][0, 0])
+    expected = (np.asarray(base["vertices"][0]) - root) @ rot.T + root
+    np.testing.assert_allclose(np.asarray(rotated["vertices"][0]), expected, atol=1e-5)
+
+
+def test_transl_offset(assets, rng):
+    betas, go, hp = random_inputs(rng, B=2)
+    layer = ManoLayer(assets)
+    t = np.asarray([[0.1, 0.2, 0.3], [-0.1, 0.0, 0.5]], dtype=np.float32)
+    a = layer(jnp.asarray(betas), jnp.asarray(go), jnp.asarray(hp))
+    b = layer(jnp.asarray(betas), jnp.asarray(go), jnp.asarray(hp), jnp.asarray(t))
+    np.testing.assert_allclose(
+        np.asarray(b["vertices"]), np.asarray(a["vertices"]) + t[:, None], atol=1e-6
+    )
+
+
+def test_sh_joint_regressor_structure(assets):
+    from cs_vit_tpu.constants import (
+        FINGERTIP_VERTEX_IDX,
+        MANO_JOINTS_ORDER,
+        TARGET_JOINTS_ORDER,
+    )
+
+    reg = sh_joint_regressor(assets)
+    assert reg.shape == (21, 778)
+    # fingertip rows are one-hot at the documented vertex ids
+    for name, vidx in FINGERTIP_VERTEX_IDX.items():
+        row = reg[TARGET_JOINTS_ORDER.index(name)]
+        assert row[vidx] == 1.0 and row.sum() == 1.0
+    # articulated rows match the MANO regressor
+    for src_idx, name in enumerate(MANO_JOINTS_ORDER):
+        np.testing.assert_allclose(
+            reg[TARGET_JOINTS_ORDER.index(name)],
+            assets.j_regressor[src_idx],
+            atol=1e-6,
+        )
+
+
+def test_packaged_sh_regressor_asset():
+    """The shipped 21x778 regressor asset rows sum to 1 (convex combos)."""
+    import os
+
+    import cs_vit_tpu
+
+    path = os.path.join(
+        os.path.dirname(cs_vit_tpu.__file__), "assets", "sh_joint_regressor.npy"
+    )
+    reg = np.load(path)
+    assert reg.shape == (21, 778)
+    np.testing.assert_allclose(reg.sum(axis=1), 1.0, atol=1e-4)
