@@ -1,0 +1,420 @@
+"""SwinV2 encoder in flax — TPU-native backbone for the Poser.
+
+Numerically matches `transformers.Swinv2Model` (the backbone the reference
+loads at `cs_vit/net/ti_poser.py:246`) so released HF checkpoints convert
+directly, while being laid out for XLA/TPU:
+
+* NHWC everywhere; window partition/reverse are pure reshapes+transposes that
+  XLA fuses away.
+* All shift masks, relative-position indices and log-CPB coordinate tables
+  are static numpy constants baked at trace time (zero per-step host work).
+* Cosine window attention runs as batched einsums over [B*nW, L, d] blocks —
+  MXU-shaped; the Pallas fused kernel in ``cs_vit_tpu.ops`` can be swapped in
+  via ``attention_impl="pallas"``.
+
+Key SwinV2 semantics replicated (see HF `modeling_swinv2.py`):
+  - cosine attention: softmax(normalize(q) @ normalize(k)^T * exp(clamp(logit_scale, max=ln 100)) + 16*sigmoid(CPB))
+  - q,v have bias, k has none
+  - residual-POST-norm: x + LN(attn(x)), x + LN(mlp(x))
+  - per-stage window/shift clamped to input resolution
+  - patch merging concat order (0,0),(1,0),(0,1),(1,1) -> Linear(4C->2C, no bias) -> LN
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class SwinV2Config:
+    image_size: int = 256
+    patch_size: int = 4
+    num_channels: int = 3
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window_size: int = 16
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path_rate: float = 0.1
+    layer_norm_eps: float = 1e-5
+    pretrained_window_sizes: Tuple[int, ...] = (0, 0, 0, 0)
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.depths)
+
+    @property
+    def num_features(self) -> int:
+        return int(self.embed_dim * 2 ** (self.num_layers - 1))
+
+
+def swinv2_tiny_256(window_size: int = 16, **kw) -> SwinV2Config:
+    """microsoft/swinv2-tiny-patch4-window16-256."""
+    return SwinV2Config(
+        embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24),
+        window_size=window_size, **kw,
+    )
+
+
+def swinv2_base_256(window_size: int = 16, **kw) -> SwinV2Config:
+    """microsoft/swinv2-base-patch4-window16-256."""
+    return SwinV2Config(
+        embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32),
+        window_size=window_size, **kw,
+    )
+
+
+def _compute_window_shift(
+    resolution: Tuple[int, int], window: int, shift: int
+) -> Tuple[int, int]:
+    """Clamp window to resolution; zero the shift when clamped (HF behavior)."""
+    ws = min(resolution[0], resolution[1], window)
+    sh = 0 if min(resolution) <= window else shift
+    return ws, sh
+
+
+def _relative_coords_table(window_size: int, pretrained_window_size: int) -> np.ndarray:
+    """Log-spaced continuous relative coordinates, [(2w-1)^2, 2]."""
+    rng = np.arange(-(window_size - 1), window_size, dtype=np.float32)
+    table = np.stack(np.meshgrid(rng, rng, indexing="ij"), axis=-1)  # [2w-1,2w-1,2]
+    denom = (pretrained_window_size - 1) if pretrained_window_size > 0 else (window_size - 1)
+    if denom > 0:
+        table = table / denom
+    table = table * 8.0
+    table = np.sign(table) * np.log2(np.abs(table) + 1.0) / math.log2(8.0)
+    return table.reshape(-1, 2)
+
+
+def _relative_position_index(window_size: int) -> np.ndarray:
+    """Pairwise relative-position lookup indices, [w*w, w*w]."""
+    coords = np.stack(
+        np.meshgrid(np.arange(window_size), np.arange(window_size), indexing="ij")
+    ).reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += window_size - 1
+    rel[:, :, 1] += window_size - 1
+    rel[:, :, 0] *= 2 * window_size - 1
+    return rel.sum(-1).astype(np.int32)
+
+
+def _shift_attn_mask(height: int, width: int, window_size: int, shift: int) -> np.ndarray:
+    """Additive mask [nW, w*w, w*w] for shifted-window attention (-100 off-region)."""
+    img_mask = np.zeros((height, width), dtype=np.float32)
+    h_slices = (slice(0, -window_size), slice(-window_size, -shift), slice(-shift, None))
+    w_slices = (slice(0, -window_size), slice(-window_size, -shift), slice(-shift, None))
+    count = 0
+    for hs in h_slices:
+        for ws_ in w_slices:
+            img_mask[hs, ws_] = count
+            count += 1
+    nh, nw = height // window_size, width // window_size
+    mw = img_mask.reshape(nh, window_size, nw, window_size)
+    mw = mw.transpose(0, 2, 1, 3).reshape(-1, window_size * window_size)
+    diff = mw[:, None, :] - mw[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def window_partition(x: jnp.ndarray, window_size: int) -> jnp.ndarray:
+    """[B, H, W, C] -> [B*nW, ws, ws, C], windows in row-major grid order."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // window_size, window_size, W // window_size, window_size, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window_size, window_size, C)
+
+
+def window_reverse(windows: jnp.ndarray, window_size: int, H: int, W: int) -> jnp.ndarray:
+    """[B*nW, ws, ws, C] -> [B, H, W, C]."""
+    C = windows.shape[-1]
+    B = windows.shape[0] // ((H // window_size) * (W // window_size))
+    x = windows.reshape(B, H // window_size, W // window_size, window_size, window_size, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
+
+
+class DropPath(nn.Module):
+    """Stochastic depth: drops the whole residual branch per-sample."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+        return x * mask / keep
+
+
+class WindowAttention(nn.Module):
+    """SwinV2 cosine attention over pre-partitioned windows."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    pretrained_window_size: int = 0
+    qkv_bias: bool = True
+    attention_impl: str = "xla"
+
+    def setup(self):
+        self.logit_scale = self.param(
+            "logit_scale",
+            lambda key: jnp.full((self.num_heads, 1, 1), math.log(10.0), jnp.float32),
+        )
+        self.cpb1 = nn.Dense(512, name="cpb1")
+        self.cpb2 = nn.Dense(self.num_heads, use_bias=False, name="cpb2")
+        self.query = nn.Dense(self.dim, use_bias=self.qkv_bias, name="query")
+        self.key = nn.Dense(self.dim, use_bias=False, name="key")
+        self.value = nn.Dense(self.dim, use_bias=self.qkv_bias, name="value")
+        self.proj = nn.Dense(self.dim, name="proj")
+
+        self._coords_table = jnp.asarray(
+            _relative_coords_table(self.window_size, self.pretrained_window_size)
+        )
+        self._rel_index = jnp.asarray(_relative_position_index(self.window_size))
+
+    def relative_position_bias(self) -> jnp.ndarray:
+        """CPB-MLP bias, [num_heads, L, L] with L = window_size**2."""
+        table = self.cpb2(nn.relu(self.cpb1(self._coords_table)))  # [(2w-1)^2, nH]
+        L = self.window_size * self.window_size
+        bias = table[self._rel_index.reshape(-1)].reshape(L, L, self.num_heads)
+        bias = bias.transpose(2, 0, 1)
+        return 16.0 * jax.nn.sigmoid(bias)
+
+    def __call__(
+        self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        """x: [B_, L, C] window tokens; mask: [nW, L, L] additive or None."""
+        B_, L, C = x.shape
+        H, hd = self.num_heads, C // self.num_heads
+
+        q = self.query(x).reshape(B_, L, H, hd).transpose(0, 2, 1, 3)
+        k = self.key(x).reshape(B_, L, H, hd).transpose(0, 2, 1, 3)
+        v = self.value(x).reshape(B_, L, H, hd).transpose(0, 2, 1, 3)
+
+        qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+        kn = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
+        scale = jnp.exp(jnp.minimum(self.logit_scale, math.log(100.0)))
+        attn = jnp.einsum("bhld,bhsd->bhls", qn, kn) * scale
+
+        attn = attn + self.relative_position_bias()[None]
+
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(B_ // nW, nW, H, L, L) + mask[None, :, None]
+            attn = attn.reshape(B_, H, L, L)
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhls,bhsd->bhld", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B_, L, C)
+        return self.proj(out)
+
+
+class SwinV2Block(nn.Module):
+    config: SwinV2Config
+    dim: int
+    resolution: Tuple[int, int]
+    num_heads: int
+    shift_size: int
+    drop_path_rate: float
+    pretrained_window_size: int = 0
+    attention_impl: str = "xla"
+
+    def setup(self):
+        ws, sh = _compute_window_shift(
+            self.resolution, self.config.window_size, self.shift_size
+        )
+        self._ws, self._sh = ws, sh
+        self.attn = WindowAttention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            window_size=ws,
+            pretrained_window_size=self.pretrained_window_size,
+            qkv_bias=self.config.qkv_bias,
+            attention_impl=self.attention_impl,
+            name="attn",
+        )
+        eps = self.config.layer_norm_eps
+        self.layernorm_before = nn.LayerNorm(epsilon=eps, name="layernorm_before")
+        self.layernorm_after = nn.LayerNorm(epsilon=eps, name="layernorm_after")
+        self.intermediate = nn.Dense(int(self.dim * self.config.mlp_ratio), name="intermediate")
+        self.output = nn.Dense(self.dim, name="output")
+        self.drop_path = DropPath(self.drop_path_rate)
+        if sh > 0:
+            self._mask = jnp.asarray(
+                _shift_attn_mask(self.resolution[0], self.resolution[1], ws, sh)
+            )
+        else:
+            self._mask = None
+
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        """x: [B, H*W, C]."""
+        H, W = self.resolution
+        B, _, C = x.shape
+        ws, sh = self._ws, self._sh
+        shortcut = x
+
+        x = x.reshape(B, H, W, C)
+        if sh > 0:
+            x = jnp.roll(x, shift=(-sh, -sh), axis=(1, 2))
+        windows = window_partition(x, ws).reshape(-1, ws * ws, C)
+        attn_out = self.attn(windows, self._mask)
+        x = window_reverse(attn_out.reshape(-1, ws, ws, C), ws, H, W)
+        if sh > 0:
+            x = jnp.roll(x, shift=(sh, sh), axis=(1, 2))
+        x = x.reshape(B, H * W, C)
+
+        # residual-post-norm (SwinV2)
+        x = shortcut + self.drop_path(self.layernorm_before(x), deterministic)
+
+        y = self.output(nn.gelu(self.intermediate(x), approximate=False))
+        x = x + self.drop_path(self.layernorm_after(y), deterministic)
+        return x
+
+
+class PatchMerging(nn.Module):
+    dim: int
+    resolution: Tuple[int, int]
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        H, W = self.resolution
+        B, _, C = x.shape
+        x = x.reshape(B, H, W, C)
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1).reshape(B, (H // 2) * (W // 2), 4 * C)
+        x = nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
+        return nn.LayerNorm(epsilon=self.eps, name="norm")(x)
+
+
+class SwinV2(nn.Module):
+    """Full SwinV2 encoder: images [B, H, W, 3] -> tokens [B, (H/32)^2, D]."""
+
+    config: SwinV2Config
+    attention_impl: str = "xla"
+
+    @nn.compact
+    def __call__(
+        self, pixel_values: jnp.ndarray, *, deterministic: bool = True
+    ) -> jnp.ndarray:
+        cfg = self.config
+        B = pixel_values.shape[0]
+        # Patch embedding: conv stride=patch_size, then LN.
+        x = nn.Conv(
+            cfg.embed_dim,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            padding="VALID",
+            name="patch_embed",
+        )(pixel_values)
+        H = cfg.image_size // cfg.patch_size
+        x = x.reshape(B, H * H, cfg.embed_dim)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="patch_norm")(x)
+
+        total_depth = sum(cfg.depths)
+        dpr = np.linspace(0, cfg.drop_path_rate, total_depth)
+
+        res = H
+        dim = cfg.embed_dim
+        block_idx = 0
+        for stage in range(cfg.num_layers):
+            for i in range(cfg.depths[stage]):
+                x = SwinV2Block(
+                    config=cfg,
+                    dim=dim,
+                    resolution=(res, res),
+                    num_heads=cfg.num_heads[stage],
+                    shift_size=0 if i % 2 == 0 else cfg.window_size // 2,
+                    drop_path_rate=float(dpr[block_idx]),
+                    pretrained_window_size=cfg.pretrained_window_sizes[stage],
+                    attention_impl=self.attention_impl,
+                    name=f"stage{stage}_block{i}",
+                )(x, deterministic=deterministic)
+                block_idx += 1
+            if stage < cfg.num_layers - 1:
+                x = PatchMerging(
+                    dim=dim, resolution=(res, res), eps=cfg.layer_norm_eps,
+                    name=f"stage{stage}_downsample",
+                )(x)
+                res //= 2
+                dim *= 2
+
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layernorm")(x)
+
+
+# ---------------------------------------------------------------------------
+# HF torch checkpoint conversion
+# ---------------------------------------------------------------------------
+
+
+def convert_hf_swinv2_state_dict(state_dict: dict, config: SwinV2Config) -> dict:
+    """Map a `transformers.Swinv2Model` state_dict (numpy values) to flax params.
+
+    Accepts keys with or without the leading ``swinv2.`` prefix. Linear weights
+    are transposed [out,in]->[in,out]; the patch conv becomes HWIO.
+    """
+
+    def get(name):
+        for k in (name, "swinv2." + name):
+            if k in state_dict:
+                return np.asarray(state_dict[k])
+        raise KeyError(name)
+
+    p: dict = {}
+    p["patch_embed"] = {
+        "kernel": get("embeddings.patch_embeddings.projection.weight").transpose(2, 3, 1, 0),
+        "bias": get("embeddings.patch_embeddings.projection.bias"),
+    }
+    p["patch_norm"] = {
+        "scale": get("embeddings.norm.weight"),
+        "bias": get("embeddings.norm.bias"),
+    }
+
+    def lin(name, bias=True):
+        out = {"kernel": get(name + ".weight").T}
+        if bias:
+            out["bias"] = get(name + ".bias")
+        return out
+
+    def ln(name):
+        return {"scale": get(name + ".weight"), "bias": get(name + ".bias")}
+
+    for s in range(config.num_layers):
+        for b in range(config.depths[s]):
+            base = f"encoder.layers.{s}.blocks.{b}"
+            attn = {
+                "logit_scale": get(base + ".attention.self.logit_scale"),
+                "cpb1": lin(base + ".attention.self.continuous_position_bias_mlp.0"),
+                "cpb2": lin(base + ".attention.self.continuous_position_bias_mlp.2", bias=False),
+                "query": lin(base + ".attention.self.query", bias=config.qkv_bias),
+                "key": lin(base + ".attention.self.key", bias=False),
+                "value": lin(base + ".attention.self.value", bias=config.qkv_bias),
+                "proj": lin(base + ".attention.output.dense"),
+            }
+            p[f"stage{s}_block{b}"] = {
+                "attn": attn,
+                "layernorm_before": ln(base + ".layernorm_before"),
+                "layernorm_after": ln(base + ".layernorm_after"),
+                "intermediate": lin(base + ".intermediate.dense"),
+                "output": lin(base + ".output.dense"),
+            }
+        if s < config.num_layers - 1:
+            p[f"stage{s}_downsample"] = {
+                "reduction": lin(f"encoder.layers.{s}.downsample.reduction", bias=False),
+                "norm": ln(f"encoder.layers.{s}.downsample.norm"),
+            }
+
+    p["layernorm"] = ln("layernorm")
+    return p
