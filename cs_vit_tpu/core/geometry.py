@@ -30,6 +30,18 @@ def _sinc(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sinc(x)
 
 
+def safe_norm(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """L2 norm with a zero subgradient at x == 0 (torch.norm semantics).
+
+    jnp.linalg.norm backpropagates NaN through exactly-zero vectors; losses
+    like root-relative joint error hit that case at the wrist joint.
+    """
+    sq = jnp.sum(x * x, axis=axis)
+    is_zero = sq == 0
+    safe = jnp.where(is_zero, 1.0, sq)
+    return jnp.where(is_zero, 0.0, jnp.sqrt(safe))
+
+
 def rotation_matrix_z(rad: jnp.ndarray) -> jnp.ndarray:
     """Right-handed rotation about +z; `rad` has shape [...]; returns [..., 3, 3]."""
     c, s = jnp.cos(rad), jnp.sin(rad)
