@@ -1,0 +1,10 @@
+from .mesh import (  # noqa: F401
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    make_mesh,
+    process_local_batch_slice,
+    replicate_state,
+    replicated,
+    shard_batch,
+)

@@ -1,0 +1,143 @@
+"""Training stack tests: schedules, masked optimizer, train step, sharding,
+NaN-skip, checkpoint roundtrip + strict=False merge."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cs_vit_tpu.parallel import make_mesh, replicate_state, shard_batch
+from cs_vit_tpu.train import (
+    TrainState,
+    build_optimizer,
+    make_train_step,
+    merge_params,
+    restore_checkpoint,
+    save_checkpoint,
+    scaled_lr,
+    warmup_cosine_schedule,
+)
+
+from .helpers import tiny_batch, tiny_poser
+
+
+def test_lr_scaling():
+    assert np.isclose(scaled_lr(1e-4, 4, 11), np.sqrt(44 / 44) * 1e-4)
+    assert np.isclose(scaled_lr(1e-4, 8, 22), np.sqrt(4) * 1e-4)
+
+
+def test_warmup_cosine_schedule_shape():
+    sched = warmup_cosine_schedule(
+        max_lr=1.0, min_lr=0.1, warmup_epochs=1, annealing_epochs=2, steps_per_epoch=10
+    )
+    # warmup: linear from 0
+    assert float(sched(0)) == 0.0
+    assert np.isclose(float(sched(5)), 0.5)
+    assert np.isclose(float(sched(10)), 1.0)
+    # end of annealing -> min_lr, then constant
+    assert np.isclose(float(sched(30)), 0.1, atol=1e-6)
+    assert np.isclose(float(sched(100)), 0.1, atol=1e-6)
+    # midpoint of cosine
+    assert np.isclose(float(sched(20)), 0.1 + (1 - 0.1) * 0.5, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def setup_train():
+    rng = np.random.default_rng(0)
+    model = tiny_poser()
+    batch = tiny_batch(rng, B=4, T=1)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    variables = model.init(
+        {"params": jax.random.key(0), "droppath": jax.random.key(1)},
+        jbatch,
+        phase="inference",
+    )
+    tx = build_optimizer(variables["params"], "spatial", 1e-3)
+    state = TrainState.create(variables, tx)
+    return model, tx, state, jbatch
+
+
+def test_train_step_updates_only_phase_params(setup_train):
+    model, tx, state, batch = setup_train
+    step = make_train_step(model, tx, "spatial", donate=False)
+    new_state, metrics = step(state, batch, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["skipped"]) == 0.0
+    assert int(new_state.step) == 1
+
+    # spatial-trained params moved; temporal params identical
+    def max_delta(a, b):
+        return max(
+            float(jnp.abs(x - y).max())
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+        )
+
+    assert max_delta(state.params["backbone"], new_state.params["backbone"]) > 0
+    assert (
+        max_delta(
+            state.params["pose_temporal_encoder"],
+            new_state.params["pose_temporal_encoder"],
+        )
+        == 0.0
+    )
+
+
+def test_train_step_skips_nan_batch(setup_train):
+    model, tx, state, batch = setup_train
+    bad = dict(batch)
+    bad["joint_cam"] = batch["joint_cam"].at[0, 0, 0, 0].set(jnp.nan)
+    step = make_train_step(model, tx, "spatial", donate=False)
+    new_state, metrics = step(state, bad, jax.random.key(0))
+    assert float(metrics["skipped"]) == 1.0
+    assert int(new_state.step) == 0
+    # params unchanged
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(new_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_step_data_parallel_8dev(setup_train):
+    """Batch sharded over an 8-device mesh must match single-device results."""
+    model, tx, state, batch = setup_train
+    step = make_train_step(model, tx, "spatial", donate=False)
+
+    ref_state, ref_metrics = step(state, batch, jax.random.key(7))
+
+    mesh = make_mesh(n_data=8)
+    sharded_batch = shard_batch(
+        {k: np.repeat(np.asarray(v), 2, axis=0) for k, v in batch.items()}, mesh
+    )
+    dp_state = replicate_state(state, mesh)
+    dp_state, dp_metrics = step(dp_state, sharded_batch, jax.random.key(7))
+    assert np.isfinite(float(dp_metrics["loss"]))
+    # doubled batch = same per-sample data duplicated -> identical loss value
+    # up to reduction order for deterministic modules; droppath rng differs per
+    # shard so compare only coarsely.
+    assert abs(float(dp_metrics["loss"]) - float(ref_metrics["loss"])) < 1.0
+
+
+def test_checkpoint_roundtrip(tmp_path, setup_train):
+    model, tx, state, batch = setup_train
+    payload = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "epoch": 3,
+    }
+    path = save_checkpoint(str(tmp_path), 3, payload)
+    assert path.endswith("checkpoint_3")
+
+    restored = restore_checkpoint(
+        str(tmp_path / "checkpoint"), target=payload
+    )
+    for a, b in zip(jax.tree.leaves(payload["params"]), jax.tree.leaves(restored["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored["epoch"]) == 3
+
+
+def test_merge_params_strict_false():
+    template = {"a": {"w": np.zeros((2, 2))}, "b": {"w": np.zeros(3)}}
+    loaded = {"a": {"w": np.ones((2, 2))}, "c": {"w": np.ones(5)}, "b": {"w": np.ones(4)}}
+    merged, skipped = merge_params(template, loaded)
+    np.testing.assert_array_equal(merged["a"]["w"], np.ones((2, 2)))
+    np.testing.assert_array_equal(merged["b"]["w"], np.zeros(3))  # shape mismatch kept
+    assert "b/w" in skipped
