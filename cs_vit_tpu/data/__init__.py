@@ -1,0 +1,4 @@
+from .base import ConcatDataset, DataLoader, SlidingWindowDataset, collate  # noqa: F401
+from .dexycb import DexYCB  # noqa: F401
+from .ho3d import HO3D  # noqa: F401
+from .ih26m_seq import InterHand26MSeq  # noqa: F401

@@ -1,0 +1,215 @@
+"""Image crop/resample ops with kornia-parity sampling math.
+
+The reference's pixel path runs through kornia
+(`crop_and_resize(..., align_corners=True)` at `cs_vit/utils/img.py:376-385`
+and the rotated-corner train crops at `cs_vit/dataset/DexYCB.py:208-210`).
+Parity at the pixel level requires reproducing that exact sampling
+convention:
+
+* 4 corner points [tl, tr, br, bl] in source pixel coords define an affine
+  map onto the output rect; output pixel (x, y) samples source location
+  ``tl + x/(W-1) * (tr - tl) + y/(H-1) * (bl - tl)``
+* bilinear interpolation with align_corners=True (integer coords are pixel
+  centers) and zero padding outside the source.
+
+Two implementations, one math: a numpy version for the host data pipeline and
+a jit-friendly JAX version (vectorized gathers) for on-device preprocessing,
+tested against each other and against torch.grid_sample ground truth.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sample_coords(corners, out_h: int, out_w: int, xp):
+    """Affine source coords for each output pixel; corners [..., 4, 2]."""
+    tl, tr, _, bl = (corners[..., i, :] for i in range(4))
+    xs = xp.linspace(0.0, 1.0, out_w)
+    ys = xp.linspace(0.0, 1.0, out_h)
+    ex = (tr - tl)[..., None, None, :]  # along x
+    ey = (bl - tl)[..., None, None, :]  # along y
+    grid = (
+        tl[..., None, None, :]
+        + xs[None, :, None] * ex
+        + ys[:, None, None] * ey
+    )
+    return grid  # [..., H, W, 2] (x, y) source coords
+
+
+def _bilinear_gather_np(img: np.ndarray, coords: np.ndarray) -> np.ndarray:
+    """img [H,W,C]; coords [h,w,2] (x,y) -> [h,w,C], zero padding."""
+    H, W = img.shape[:2]
+    x, y = coords[..., 0], coords[..., 1]
+    x0 = np.floor(x).astype(np.int64)
+    y0 = np.floor(y).astype(np.int64)
+    x1, y1 = x0 + 1, y0 + 1
+    wx = x - x0
+    wy = y - y0
+
+    def fetch(yi, xi):
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        xi_c = np.clip(xi, 0, W - 1)
+        yi_c = np.clip(yi, 0, H - 1)
+        v = img[yi_c, xi_c]
+        return v * valid[..., None]
+
+    v00 = fetch(y0, x0)
+    v01 = fetch(y0, x1)
+    v10 = fetch(y1, x0)
+    v11 = fetch(y1, x1)
+    wx = wx[..., None]
+    wy = wy[..., None]
+    return (
+        v00 * (1 - wx) * (1 - wy)
+        + v01 * wx * (1 - wy)
+        + v10 * (1 - wx) * wy
+        + v11 * wx * wy
+    )
+
+
+def crop_and_resize_np(
+    images: np.ndarray,  # [N,H,W,C] float
+    corners: np.ndarray,  # [N,4,2] (tl,tr,br,bl) in pixel coords
+    out_size: Tuple[int, int],
+) -> np.ndarray:
+    """Host-side kornia-parity crop+resize -> [N,h,w,C]."""
+    h, w = out_size
+    out = np.empty((images.shape[0], h, w, images.shape[-1]), dtype=images.dtype)
+    for i in range(images.shape[0]):
+        grid = _sample_coords(corners[i], h, w, np)
+        out[i] = _bilinear_gather_np(images[i], grid)
+    return out
+
+
+def _bilinear_gather_jax(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    H, W = img.shape[:2]
+    x, y = coords[..., 0], coords[..., 1]
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1, y1 = x0 + 1, y0 + 1
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+
+    def fetch(yi, xi):
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        v = img[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+        return v * valid[..., None]
+
+    return (
+        fetch(y0, x0) * (1 - wx) * (1 - wy)
+        + fetch(y0, x1) * wx * (1 - wy)
+        + fetch(y1, x0) * (1 - wx) * wy
+        + fetch(y1, x1) * wx * wy
+    )
+
+
+def crop_and_resize(
+    images: jnp.ndarray,  # [N,H,W,C]
+    corners: jnp.ndarray,  # [N,4,2]
+    out_size: Tuple[int, int],
+) -> jnp.ndarray:
+    """On-device kornia-parity crop+resize (vmapped bilinear gather)."""
+    h, w = out_size
+
+    def one(img, cs):
+        grid = _sample_coords(cs, h, w, jnp)
+        return _bilinear_gather_jax(img, grid)
+
+    return jax.vmap(one)(images, corners)
+
+
+def expand_bbox_square(bboxes, expansion_ratio: float = 1.0):
+    """Square-expand xyxy boxes around center (ref `utils/img.py:25-52`)."""
+    xp = jnp if isinstance(bboxes, jnp.ndarray) else np
+    x1, y1, x2, y2 = (bboxes[..., i] for i in range(4))
+    max_side = xp.maximum(x2 - x1, y2 - y1)
+    cx, cy = (x1 + x2) * 0.5, (y1 + y2) * 0.5
+    half = max_side * 0.5 * expansion_ratio
+    return xp.stack([cx - half, cy - half, cx + half, cy + half], axis=-1)
+
+
+def bbox_to_corners(bboxes):
+    """xyxy [...,4] -> corner points [...,4,2] ordered (tl,tr,br,bl)."""
+    xp = jnp if isinstance(bboxes, jnp.ndarray) else np
+    x1, y1, x2, y2 = (bboxes[..., i] for i in range(4))
+    return xp.stack(
+        [
+            xp.stack([x1, y1], axis=-1),
+            xp.stack([x2, y1], axis=-1),
+            xp.stack([x2, y2], axis=-1),
+            xp.stack([x1, y2], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def crop_with_square_box_np(
+    images: np.ndarray,       # [N,H,W,C]
+    tight_bbox: np.ndarray,   # [N,4] xyxy
+    expansion_ratio: float = 2.0,
+    output_size: int = 224,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Eval-path crop (ref `utils/img.py:339-390`).
+
+    Returns (patches [N,s,s,C], scale_coefs [N], square_bboxes [N,4]).
+    """
+    centers = (tight_bbox[:, :2] + tight_bbox[:, 2:]) / 2
+    sizes = tight_bbox[:, 2:] - tight_bbox[:, :2]
+    max_sizes = sizes.max(axis=1)
+    square_sizes = np.stack([max_sizes, max_sizes], axis=1) * expansion_ratio
+    square_bboxes = np.concatenate(
+        [centers - square_sizes / 2, centers + square_sizes / 2], axis=1
+    ).astype(np.float32)
+    corners = bbox_to_corners(square_bboxes)
+    patches = crop_and_resize_np(images, corners, (output_size, output_size))
+    scales = (square_sizes[:, 0] / output_size).astype(np.float32)
+    return patches, scales, square_bboxes
+
+
+def scale_rotate_img(
+    images: jnp.ndarray,       # [N,H,W,C]
+    scale_coef: jnp.ndarray,   # [N]
+    angle_degree: jnp.ndarray,  # [N]
+) -> jnp.ndarray:
+    """Center scale+rotate with reflection padding (ref `utils/img.py:185-212`).
+
+    Matches kornia's get_rotation_matrix2d/affine(align_corners=False)
+    convention: dst pixel p maps to src = M^-1 p with M the rotation about the
+    image center; sampling is bilinear with border reflection.
+    """
+    N, H, W, C = images.shape
+    cx, cy = W / 2.0, H / 2.0
+    # kornia get_rotation_matrix2d: forward dst = s*[[cos, sin],[-sin, cos]] @ (src-c) + c
+    # so the dst->src sampling map is the transpose / s.
+    theta = angle_degree * jnp.pi / 180.0
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    inv_s = 1.0 / scale_coef
+    m00 = cos * inv_s
+    m01 = -sin * inv_s
+    m10 = sin * inv_s
+    m11 = cos * inv_s
+
+    ys, xs = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+    xs = xs.astype(jnp.float32) - cx
+    ys = ys.astype(jnp.float32) - cy
+
+    def one(img, a00, a01, a10, a11):
+        sx = a00 * xs + a01 * ys + cx
+        sy = a10 * xs + a11 * ys + cy
+        # reflect padding
+        def reflect(v, n):
+            v = jnp.abs(v)
+            period = 2 * (n - 1)
+            v = jnp.mod(v, period)
+            return jnp.where(v > n - 1, period - v, v)
+
+        sx = reflect(sx, W)
+        sy = reflect(sy, H)
+        return _bilinear_gather_jax(img, jnp.stack([sx, sy], axis=-1))
+
+    return jax.vmap(one)(images, m00, m01, m10, m11)
