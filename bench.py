@@ -1,0 +1,136 @@
+"""Throughput benchmark: Swin-B spatial Poser inference on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "swinb_spatial_crops_per_sec", "value": N, "unit": "crops/s",
+   "vs_baseline": R}
+
+`vs_baseline` is measured crops/s divided by the BASELINE.json north-star
+target (3x a nominal A100 Swin-B-256 inference throughput; the reference
+publishes no numbers — see BASELINE.md — so the A100 anchor is the commonly
+reported ~660 img/s for SwinV2-B @256 fp16 inference, giving a 1980 crops/s
+target). vs_baseline >= 1.0 means the north star is met.
+
+Flags:
+  --backbone swinv2-base-256|swinv2-tiny-256   (default base)
+  --batch 128  --iters 20  --seq_len 1  --dtype bfloat16|float32
+  --temporal   also benchmark the T=7 temporal clip model (clips/s, printed
+               as an extra informational line; the ONE required JSON line
+               stays the spatial metric)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cs_vit_tpu.config import FinetuneConfig
+from cs_vit_tpu.cli.common import build_model, init_variables
+
+A100_SWINB_CROPS_PER_SEC = 660.0  # nominal fp16 A100 anchor (see module doc)
+NORTH_STAR = 3.0 * A100_SWINB_CROPS_PER_SEC
+
+
+def make_batch(B, T, S, rng):
+    return {
+        "patches": jnp.asarray(rng.uniform(size=(B, T, S, S, 3)), jnp.float32),
+        "square_bboxes": jnp.tile(
+            jnp.asarray([80.0, 100.0, 400.0, 420.0], jnp.float32), (B, T, 1)
+        ),
+        "timestamp": jnp.tile(jnp.arange(T, dtype=jnp.float32) * 33.3, (B, 1)),
+        "focal": jnp.full((B, T, 2), 600.0, jnp.float32),
+        "princpt": jnp.full((B, T, 2), 320.0, jnp.float32),
+    }
+
+
+def cast_params(tree, dtype):
+    def cast(x):
+        if isinstance(x, jnp.ndarray) and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree.map(cast, tree)
+
+
+def bench_predict(model, params, batch_stats, batch, iters, warmup=3):
+    @jax.jit
+    def fn(params, batch_stats, batch):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["patches"],
+            batch["square_bboxes"],
+            batch["timestamp"],
+            batch["focal"],
+            batch["princpt"],
+            "inference",
+            method=model.predict,
+        )["joint_cam"]
+
+    out = fn(params, batch_stats, batch)
+    out.block_until_ready()
+    for _ in range(warmup - 1):
+        fn(params, batch_stats, batch).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(params, batch_stats, batch)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return dt / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backbone", default="swinv2-base-256")
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    ap.add_argument("--temporal", action="store_true")
+    args = ap.parse_args()
+
+    cfg = FinetuneConfig(
+        exp="bench", backbone=args.backbone, img_size=256, batch_size=args.batch,
+        phase="inference", data=["dexycb"],
+    )
+    model = build_model(cfg)
+    variables = init_variables(model, cfg, seq_len=1)
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if dtype == jnp.bfloat16:
+        params = cast_params(params, dtype)
+
+    rng = np.random.default_rng(0)
+    batch = make_batch(args.batch, 1, cfg.img_size, rng)
+    if dtype == jnp.bfloat16:
+        batch = {**batch, "patches": batch["patches"].astype(dtype)}
+
+    sec_per_step = bench_predict(model, params, batch_stats, batch, args.iters)
+    crops_per_sec = args.batch / sec_per_step
+
+    if args.temporal:
+        tbatch = make_batch(max(args.batch // 8, 1), 7, cfg.img_size, rng)
+        if dtype == jnp.bfloat16:
+            tbatch = {**tbatch, "patches": tbatch["patches"].astype(dtype)}
+        t_sec = bench_predict(model, params, batch_stats, tbatch, max(args.iters // 2, 3))
+        print(
+            f"# temporal T=7 clips/s: {tbatch['patches'].shape[0] / t_sec:.2f}"
+            f" ({tbatch['patches'].shape[0] * 7 / t_sec:.1f} frames/s)"
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": "swinb_spatial_crops_per_sec",
+                "value": round(crops_per_sec, 2),
+                "unit": "crops/s",
+                "vs_baseline": round(crops_per_sec / NORTH_STAR, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -102,9 +102,15 @@ class PoserConfig:
             return self.custom_swin
         name = self.backbone.lower()
         if "base" in name:
-            return swinv2_base_256()
+            return swinv2_base_256(image_size=self.image_size)
         if "tiny" in name:
-            return swinv2_tiny_256()
+            return swinv2_tiny_256(image_size=self.image_size)
+        if "test" in name:  # minimal arch for smoke tests / CI
+            return SwinV2Config(
+                image_size=self.image_size, embed_dim=8, depths=(1, 1),
+                num_heads=(2, 2), window_size=4, drop_path_rate=0.0,
+                pretrained_window_sizes=(0, 0),
+            )
         raise ValueError(f"unknown backbone spec: {self.backbone}")
 
     @property

@@ -2,6 +2,7 @@ from .mesh import (  # noqa: F401
     DATA_AXIS,
     MODEL_AXIS,
     batch_sharding,
+    fitting_mesh,
     make_mesh,
     process_local_batch_slice,
     replicate_state,

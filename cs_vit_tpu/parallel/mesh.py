@@ -35,6 +35,19 @@ def make_mesh(
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def fitting_mesh(batch_size: int, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Largest data mesh whose size divides `batch_size` (subset of devices).
+
+    Keeps the jitted step valid for any batch size; with well-chosen batches
+    (divisible by device count) this is the full mesh.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(n_data=n, devices=devices[:n])
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
