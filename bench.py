@@ -56,30 +56,50 @@ def cast_params(tree, dtype):
     return jax.tree.map(cast, tree)
 
 
-def bench_predict(model, params, batch_stats, batch, iters, warmup=3):
-    @jax.jit
-    def fn(params, batch_stats, batch):
-        return model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            batch["patches"],
-            batch["square_bboxes"],
-            batch["timestamp"],
-            batch["focal"],
-            batch["princpt"],
-            "inference",
-            method=model.predict,
-        )["joint_cam"]
+def bench_predict(model, params, batch_stats, batch, iters, warmup=1):
+    """Wall-clock per forward, measured robustly against async dispatch.
 
-    out = fn(params, batch_stats, batch)
-    out.block_until_ready()
-    for _ in range(warmup - 1):
-        fn(params, batch_stats, batch).block_until_ready()
+    Remote/tunneled TPU backends can make block_until_ready a no-op, so we
+    chain `iters` forwards inside ONE jitted lax.fori_loop (each iteration's
+    input depends on the previous output) and fetch a scalar with
+    jax.device_get; the marginal cost between a 1-iteration and an
+    (iters+1)-iteration program is the true per-step time.
+    """
+
+    def chained(params, batch_stats, batch, n):
+        def one(patches):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                patches,
+                batch["square_bboxes"],
+                batch["timestamp"],
+                batch["focal"],
+                batch["princpt"],
+                "inference",
+                method=model.predict,
+            )["joint_cam"]
+
+        def body(_, carry):
+            out = one(batch["patches"] + (carry * 1e-20).astype(batch["patches"].dtype))
+            return jnp.sum(out).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+    f1 = jax.jit(lambda p, s, b: chained(p, s, b, 1))
+    fk = jax.jit(lambda p, s, b: chained(p, s, b, iters + 1))
+    # compile + warm both programs
+    jax.device_get(f1(params, batch_stats, batch))
+    jax.device_get(fk(params, batch_stats, batch))
+    for _ in range(warmup):
+        jax.device_get(f1(params, batch_stats, batch))
+
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(params, batch_stats, batch)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    return dt / iters
+    jax.device_get(f1(params, batch_stats, batch))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.device_get(fk(params, batch_stats, batch))
+    tk = time.perf_counter() - t0
+    return max(tk - t1, 1e-9) / iters
 
 
 def main():

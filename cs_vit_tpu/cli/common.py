@@ -38,9 +38,46 @@ def load_or_create_config(exp: str, args_dict: dict, ckpt_root: str = "./checkpo
     return cfg
 
 
+def _backbone_arch_name(backbone: Optional[str]) -> str:
+    """Resolve an arch name from either a name or a local HF checkpoint dir.
+
+    The reference passes an HF checkpoint path as --backbone
+    (`scripts/finetune.py:368-370`); we accept both that and plain names.
+    """
+    if not backbone:
+        return "swinv2-tiny-256"
+    if osp.isdir(backbone):
+        with open(osp.join(backbone, "config.json")) as f:
+            hf = json.load(f)
+        return "swinv2-base-256" if hf.get("embed_dim", 96) >= 128 else "swinv2-tiny-256"
+    return backbone
+
+
+def load_backbone_params(backbone_dir: str, swin_config) -> Optional[dict]:
+    """Load pretrained HF Swinv2 weights from a local checkpoint directory."""
+    from ..models.swinv2 import convert_hf_swinv2_state_dict
+
+    st_path = osp.join(backbone_dir, "model.safetensors")
+    bin_path = osp.join(backbone_dir, "pytorch_model.bin")
+    if osp.exists(st_path):
+        from safetensors.numpy import load_file
+
+        sd = load_file(st_path)
+    elif osp.exists(bin_path):
+        import torch
+
+        sd = {
+            k: v.numpy()
+            for k, v in torch.load(bin_path, map_location="cpu").items()
+        }
+    else:
+        return None
+    return convert_hf_swinv2_state_dict(sd, swin_config)
+
+
 def poser_config_from(cfg: FinetuneConfig) -> PoserConfig:
     return PoserConfig(
-        backbone=cfg.backbone or "swinv2-tiny-256",
+        backbone=_backbone_arch_name(cfg.backbone),
         num_pose_query=cfg.num_joints,
         num_spatial_layer=cfg.num_spatial_layer,
         spatial_layer_type=cfg.spatial_layer_type,

@@ -60,6 +60,18 @@ def main(cfg: FinetuneConfig, ckpt_root: str = "./checkpoints", log_every: int =
     variables = init_variables(model, cfg, seq_len)
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
+    # pretrained HF backbone weights when --backbone is a checkpoint dir
+    if cfg.backbone and os.path.isdir(cfg.backbone):
+        from .common import load_backbone_params, poser_config_from
+
+        loaded_bb = load_backbone_params(cfg.backbone, poser_config_from(cfg).swin_config())
+        if loaded_bb is not None:
+            import jax.numpy as jnp
+
+            params = dict(params)
+            params["backbone"] = jax.tree.map(jnp.asarray, loaded_bb)
+            print_(f"loaded pretrained backbone from {cfg.backbone}")
+
     # temporal phase: start from the spatial checkpoint, strict=False
     if cfg.phase == "temporal" and cfg.spatial_ckpt:
         loaded = restore_checkpoint(cfg.spatial_ckpt)
