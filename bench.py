@@ -109,11 +109,12 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     ap.add_argument("--temporal", action="store_true")
+    ap.add_argument("--attn", default="pallas", choices=["xla", "pallas"])
     args = ap.parse_args()
 
     cfg = FinetuneConfig(
         exp="bench", backbone=args.backbone, img_size=256, batch_size=args.batch,
-        phase="inference", data=["dexycb"],
+        phase="inference", data=["dexycb"], attention_impl=args.attn,
     )
     model = build_model(cfg)
     variables = init_variables(model, cfg, seq_len=1)

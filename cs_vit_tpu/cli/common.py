@@ -91,6 +91,7 @@ def poser_config_from(cfg: FinetuneConfig) -> PoserConfig:
         persp_decorate=cfg.persp_decorate,
         image_size=cfg.img_size,
         global_positioning=cfg.global_positioning,
+        attention_impl=cfg.attention_impl,
     )
 
 

@@ -58,6 +58,7 @@ class FinetuneConfig:
     # TPU-specific knobs (new; absent from the reference)
     mano_model_dir: Optional[str] = None
     dtype: str = "float32"  # compute dtype for the backbone ("bfloat16" on TPU)
+    attention_impl: str = "xla"  # "xla" | "pallas" fused window attention
 
     def update(self, other: Union["FinetuneConfig", Dict[str, Any]]):
         if isinstance(other, FinetuneConfig):

@@ -85,6 +85,7 @@ class PoserConfig:
     compat_scale: bool = True               # MHA sqrt(d_h)-multiply quirk
     compat_swap: bool = True                # latent embedder swap quirk
     custom_swin: Optional[SwinV2Config] = None  # override (tests / experiments)
+    attention_impl: str = "xla"             # "xla" | "pallas" backbone attention
 
     def __post_init__(self):
         assert self.spatial_layer_type in ("decoder", "encoder")
@@ -282,7 +283,9 @@ class Poser(nn.Module):
     def setup(self):
         cfg = self.config
         D = cfg.hidden_dim
-        self.backbone = SwinV2(cfg.swin_config(), name="backbone")
+        self.backbone = SwinV2(
+            cfg.swin_config(), attention_impl=cfg.attention_impl, name="backbone"
+        )
 
         if cfg.num_latent_layer is not None:
             self.latent_trans = ScaleRotComplexEmbedTransformationGroup(

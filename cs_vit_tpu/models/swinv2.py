@@ -200,12 +200,28 @@ class WindowAttention(nn.Module):
         k = self.key(x).reshape(B_, L, H, hd).transpose(0, 2, 1, 3)
         v = self.value(x).reshape(B_, L, H, hd).transpose(0, 2, 1, 3)
 
+        scale = jnp.exp(jnp.minimum(self.logit_scale, math.log(100.0)))
+        rel_bias = self.relative_position_bias()  # [H, L, L]
+
+        if self.attention_impl == "pallas":
+            from ..ops.window_attention import fused_window_attention
+
+            if mask is not None:
+                bias = rel_bias[None] + mask[:, None]  # [nW, H, L, L]
+            else:
+                bias = rel_bias[None]                  # [1, H, L, L]
+            out = fused_window_attention(
+                q, k, v, bias, scale.reshape(-1),
+                interpret=jax.default_backend() != "tpu",
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B_, L, C)
+            return self.proj(out)
+
         qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
         kn = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
-        scale = jnp.exp(jnp.minimum(self.logit_scale, math.log(100.0)))
         attn = jnp.einsum("bhld,bhsd->bhls", qn, kn) * scale
 
-        attn = attn + self.relative_position_bias()[None]
+        attn = attn + rel_bias[None]
 
         if mask is not None:
             nW = mask.shape[0]
