@@ -222,3 +222,96 @@ def make_synthetic_ih26mseq(
                                 "princpt", data=np.tile(princpt, (seq_len, 1))
                             )
     return root
+
+
+def make_synthetic_ho3d_fs(
+    root: str,
+    splits=("train", "evaluation"),
+    num_seqs: int = 1,
+    seq_len: int = 6,
+    img_hw=(120, 160),
+    seed: int = 3,
+) -> str:
+    """HO3D directory layout: <split>/<seq>/{rgb,meta} with per-frame pkls."""
+    import pickle
+
+    rng = np.random.default_rng(seed)
+    cam = np.asarray(
+        [[240.0, 0, img_hw[1] / 2], [0, 240.0, img_hw[0] / 2], [0, 0, 1]]
+    )
+    for split in splits:
+        for s in range(num_seqs):
+            seq_dir = osp.join(root, split, f"SEQ{s}")
+            os.makedirs(osp.join(seq_dir, "rgb"), exist_ok=True)
+            os.makedirs(osp.join(seq_dir, "meta"), exist_ok=True)
+            for t in range(seq_len):
+                img = (rng.uniform(size=(*img_hw, 3)) * 255).astype(np.uint8)
+                cv2.imwrite(osp.join(seq_dir, "rgb", f"{t:04d}.jpg"), img)
+                # OpenGL convention: y/z flipped relative to camera coords
+                joints_cam = np.stack(
+                    [
+                        rng.uniform(-0.05, 0.05, 21),
+                        rng.uniform(-0.05, 0.05, 21),
+                        rng.uniform(0.4, 0.6, 21),
+                    ],
+                    axis=-1,
+                )
+                joints_gl = joints_cam * np.asarray([1, -1, -1])
+                meta = {
+                    "handJoints3D": joints_gl,
+                    "camMat": cam,
+                    "handPose": rng.normal(scale=0.3, size=48),
+                    "handBeta": rng.normal(scale=0.5, size=10),
+                }
+                with open(osp.join(seq_dir, "meta", f"{t:04d}.pkl"), "wb") as f:
+                    pickle.dump(meta, f)
+    return root
+
+
+def make_synthetic_image_folder(root: str, n: int = 6, img_hw=(90, 110), seed: int = 4) -> str:
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    for i in range(n):
+        img = (rng.uniform(size=(*img_hw, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(osp.join(root, f"img_{i:03d}.jpg"), img)
+    return root
+
+
+def make_synthetic_ego4d(root: str, n_frames: int = 3, img_hw=(100, 140), seed: int = 5) -> str:
+    import json
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(osp.join(root, "images", "vid0"), exist_ok=True)
+    os.makedirs(osp.join(root, "annotations"), exist_ok=True)
+    annot = {}
+    for t in range(n_frames):
+        rel = f"vid0/frame_{t:04d}.jpg"
+        img = (rng.uniform(size=(*img_hw, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(osp.join(root, "images", rel), img)
+        annot[str(t)] = {
+            "image_path": rel,
+            "hands": [
+                {
+                    "bbox": {
+                        "x_min": 0.3, "y_min": 0.3, "x_max": 0.6, "y_max": 0.7,
+                    }
+                }
+            ],
+        }
+    with open(osp.join(root, "annotations", "vid0.json"), "w") as f:
+        json.dump(annot, f)
+    return root
+
+
+def make_synthetic_hint(root: str, part: str = "newdays", n: int = 4, img_hw=(100, 140), seed: int = 6) -> str:
+    import json
+
+    rng = np.random.default_rng(seed)
+    folder = osp.join(root, f"TRAIN_{part}_img")
+    os.makedirs(folder, exist_ok=True)
+    for i in range(n):
+        img = (rng.uniform(size=(*img_hw, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(osp.join(folder, f"im_{i:03d}.jpg"), img)
+        with open(osp.join(folder, f"im_{i:03d}.json"), "w") as f:
+            json.dump([{"bbox": [[20.0, 25.0, 90.0, 85.0]]}], f)
+    return root

@@ -171,6 +171,37 @@ def crop_with_square_box_np(
     return patches, scales, square_bboxes
 
 
+def crop_with_normalized_box_np(
+    image: np.ndarray,            # [H,W,C]
+    crop_box,                     # [4] normalized xyxy
+    output_size: Tuple[int, int],
+) -> np.ndarray:
+    """Normalized-coordinate crop with aspect-ratio adjustment.
+
+    Port of `cs_vit/utils/img.py:244-336` (crop_tensor_with_normalized_box):
+    the box is widened (never shrunk) about its center to match the target
+    aspect ratio, then crop+resize with align_corners=True and zero padding.
+    """
+    H, W = image.shape[:2]
+    box = np.asarray(crop_box, np.float32) * np.asarray([W, H, W, H], np.float32)
+    x1, y1, x2, y2 = box
+    th, tw = output_size
+    target_ratio = tw / th
+    cur_w, cur_h = x2 - x1, y2 - y1
+    cur_ratio = cur_w / cur_h
+    cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+    if cur_ratio < target_ratio:
+        new_w, new_h = cur_h * target_ratio, cur_h
+    else:
+        new_w, new_h = cur_w, cur_w / target_ratio
+    x1, x2 = cx - new_w / 2, cx + new_w / 2
+    y1, y2 = cy - new_h / 2, cy + new_h / 2
+    corners = np.asarray(
+        [[x1, y1], [x2, y1], [x2, y2], [x1, y2]], np.float32
+    )
+    return crop_and_resize_np(image[None], corners[None], output_size)[0]
+
+
 def scale_rotate_img(
     images: jnp.ndarray,       # [N,H,W,C]
     scale_coef: jnp.ndarray,   # [N]

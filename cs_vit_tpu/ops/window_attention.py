@@ -51,7 +51,8 @@ def fused_window_attention(
     bias_spec = pl.BlockSpec(
         (1, 1, L, L), lambda b, h: (b % nW, h, 0, 0), memory_space=pltpu.VMEM
     )
-    scale_spec = pl.BlockSpec((1, 1), lambda b, h: (h, 0), memory_space=pltpu.VMEM)
+    # whole scale vector in VMEM; the kernel picks its head's entry
+    scale_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec(
         (1, 1, L, hd), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
     )
@@ -61,7 +62,7 @@ def fused_window_attention(
         kk = k_ref[0, 0].astype(jnp.float32)
         vv = v_ref[0, 0].astype(jnp.float32)
         bb = bias_ref[0, 0].astype(jnp.float32)
-        scale = scale_ref[0, 0]
+        scale = scale_ref[pl.program_id(1), 0]
 
         qn = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
         kn = kk * jax.lax.rsqrt(jnp.sum(kk * kk, axis=-1, keepdims=True) + 1e-24)

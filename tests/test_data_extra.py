@@ -1,0 +1,81 @@
+"""Tests for HO3D_FS and the TI-pretraining image datasets."""
+
+import numpy as np
+import pytest
+
+from cs_vit_tpu.data import COCO2017, Ego4DHandImage, HIntHandImage, HO3D_FS
+from cs_vit_tpu.data.fixtures import (
+    make_synthetic_ego4d,
+    make_synthetic_hint,
+    make_synthetic_ho3d_fs,
+    make_synthetic_image_folder,
+)
+
+T = 3
+IMG = 32
+
+
+def test_ho3d_fs(tmp_path):
+    root = make_synthetic_ho3d_fs(str(tmp_path / "ho3dfs"), seq_len=6)
+    ds = HO3D_FS(root, T, "evaluation", img_size=IMG)
+    assert len(ds) == 6 - T + 1
+    item = ds[0]
+    assert item["patches"].shape == (T, IMG, IMG, 3)
+    assert item["joint_cam"].shape == (T, 21, 3)
+    assert item["mano_pose"].shape == (T, 48)
+    # OpenGL -> camera conversion must land hands in front of the camera
+    assert np.all(item["joint_cam"][..., 2] > 0)
+    # projection consistency: joint_img == project(joint_cam)
+    jc, ji = item["joint_cam"], item["joint_img"]
+    f, c = item["focal"], item["princpt"]
+    u = f[:, :1] * jc[..., 0] / jc[..., 2] + c[:, :1]
+    v = f[:, 1:] * jc[..., 1] / jc[..., 2] + c[:, 1:]
+    np.testing.assert_allclose(np.stack([u, v], -1), ji, atol=1e-2)
+
+
+def test_coco2017(tmp_path):
+    root = make_synthetic_image_folder(str(tmp_path / "coco"), n=5)
+    ds = COCO2017(root, img_size=IMG)
+    assert len(ds) == 5
+    img = ds[0]
+    assert img.shape == (IMG, IMG, 3)
+    assert img.dtype == np.float32
+    assert 0.0 <= img.min() and img.max() <= 1.0
+    # no-augment mode resizes deterministically
+    ds2 = COCO2017(root, img_size=IMG, default_augment=False)
+    np.testing.assert_array_equal(ds2[1], ds2[1])
+
+
+def test_ego4d(tmp_path):
+    root = make_synthetic_ego4d(str(tmp_path / "ego4d"))
+    ds = Ego4DHandImage(
+        root, img_size=IMG, cache_dir=str(tmp_path / "cache_e")
+    )
+    assert len(ds) == 3
+    crop = ds[0]
+    assert crop.shape == (IMG, IMG, 3)
+    assert np.isfinite(crop).all()
+    # index cache is reused
+    ds2 = Ego4DHandImage(root, img_size=IMG, cache_dir=str(tmp_path / "cache_e"))
+    assert len(ds2) == 3
+
+
+def test_hint(tmp_path):
+    root = make_synthetic_hint(str(tmp_path / "hint"), part="newdays")
+    ds = HIntHandImage(
+        root, img_size=IMG, parts=["newdays"], cache_dir=str(tmp_path / "cache_h")
+    )
+    assert len(ds) == 4
+    crop = ds[0]
+    assert crop.shape == (IMG, IMG, 3)
+    assert np.isfinite(crop).all()
+
+
+def test_crop_with_normalized_box_aspect():
+    from cs_vit_tpu.ops.resample import crop_with_normalized_box_np
+
+    img = np.arange(40 * 60 * 1, dtype=np.float32).reshape(40, 60, 1) / (40 * 60)
+    # narrow box -> widened to match 1:1 output ratio
+    out = crop_with_normalized_box_np(img, [0.4, 0.1, 0.5, 0.9], (16, 16))
+    assert out.shape == (16, 16, 1)
+    assert np.isfinite(out).all()
