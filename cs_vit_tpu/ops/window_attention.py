@@ -39,22 +39,28 @@ def fused_window_attention(
 ) -> jnp.ndarray:
     B_, H, L, hd = q.shape
     nW = bias.shape[0]
+    assert B_ % nW == 0, "window batch must be images * windows-per-image"
+    B_img = B_ // nW
 
     scale2d = logit_scale.reshape(H, 1).astype(jnp.float32)
 
-    grid = (B_, H)
+    # Grid order (w, h, i): the innermost axis walks images while (w, h) —
+    # and therefore the bias block index — stay constant, so Mosaic's
+    # pipeline keeps the [L, L] bias resident in VMEM instead of re-DMAing
+    # it for all B_*H programs (the bias is batch-independent).
+    grid = (nW, H, B_img)
     qkv_spec = pl.BlockSpec(
-        (1, 1, L, hd), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, L, hd), lambda w, h, i: (i * nW + w, h, 0, 0),
+        memory_space=pltpu.VMEM,
     )
-    # window index for the bias block: images are laid out as consecutive
-    # groups of nW windows.
     bias_spec = pl.BlockSpec(
-        (1, 1, L, L), lambda b, h: (b % nW, h, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, L, L), lambda w, h, i: (w, h, 0, 0), memory_space=pltpu.VMEM
     )
     # whole scale vector in VMEM; the kernel picks its head's entry
     scale_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec(
-        (1, 1, L, hd), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, L, hd), lambda w, h, i: (i * nW + w, h, 0, 0),
+        memory_space=pltpu.VMEM,
     )
 
     def kernel4d(q_ref, k_ref, v_ref, bias_ref, scale_ref, out_ref):
