@@ -315,3 +315,74 @@ def make_synthetic_hint(root: str, part: str = "newdays", n: int = 4, img_hw=(10
         with open(osp.join(folder, f"im_{i:03d}.json"), "w") as f:
             json.dump([{"bbox": [[20.0, 25.0, 90.0, 85.0]]}], f)
     return root
+
+
+def make_synthetic_ih26m_legacy(root: str, n_frames: int = 4, img_hw=(120, 160), seed: int = 7) -> str:
+    """COCO-style InterHand2.6M annotation jsons + images (test split)."""
+    import json
+
+    rng = np.random.default_rng(seed)
+    split = "test"
+    annot_dir = osp.join(root, "annotations", split)
+    os.makedirs(annot_dir, exist_ok=True)
+    focal = [240.0, 240.0]
+    princpt = [img_hw[1] / 2.0, img_hw[0] / 2.0]
+
+    images, annotations, joints, mano = [], [], {"0": {}}, {"0": {}}
+    cameras = {
+        "0": {
+            "campos": {"4": [0.0, 0.0, 0.0]},
+            "camrot": {"4": np.eye(3).tolist()},
+            "focal": {"4": focal},
+            "princpt": {"4": princpt},
+        }
+    }
+    for t in range(n_frames):
+        rel = f"Capture0/ROM01/cam4/image{t:05d}.jpg"
+        path = osp.join(root, "images", split, rel)
+        os.makedirs(osp.dirname(path), exist_ok=True)
+        cv2.imwrite(path, (rng.uniform(size=(*img_hw, 3)) * 255).astype(np.uint8))
+        images.append(
+            {
+                "id": t, "file_name": rel, "width": img_hw[1], "height": img_hw[0],
+                "capture": 0, "camera": "4", "frame_idx": t, "seq_name": "ROM01",
+            }
+        )
+        # two hands in front of the camera (world == cam since R=I, t=0)
+        jw = np.stack(
+            [
+                rng.uniform(-40, 40, 42),
+                rng.uniform(-40, 40, 42),
+                rng.uniform(400, 600, 42),
+            ],
+            axis=-1,
+        )
+        joints["0"][str(t)] = {
+            "world_coord": jw.tolist(),
+            "joint_valid": np.ones((42, 1)).tolist(),
+        }
+        mano["0"][str(t)] = {
+            "right": {"pose": rng.normal(size=48).tolist(),
+                      "shape": rng.normal(size=10).tolist(),
+                      "trans": [0, 0, 0.5]},
+            "left": {"pose": rng.normal(size=48).tolist(),
+                     "shape": rng.normal(size=10).tolist(),
+                     "trans": [0, 0, 0.5]},
+        }
+        annotations.append(
+            {
+                "id": t, "image_id": t,
+                "joint_valid": np.ones((42, 1)).tolist(),
+                "hand_type": "interacting" if t % 2 == 0 else "right",
+            }
+        )
+
+    with open(osp.join(annot_dir, f"InterHand2.6M_{split}_data.json"), "w") as f:
+        json.dump({"images": images, "annotations": annotations}, f)
+    with open(osp.join(annot_dir, f"InterHand2.6M_{split}_camera.json"), "w") as f:
+        json.dump(cameras, f)
+    with open(osp.join(annot_dir, f"InterHand2.6M_{split}_joint_3d.json"), "w") as f:
+        json.dump(joints, f)
+    with open(osp.join(annot_dir, f"InterHand2.6M_{split}_MANO_NeuralAnnot.json"), "w") as f:
+        json.dump(mano, f)
+    return root

@@ -79,3 +79,26 @@ def test_crop_with_normalized_box_aspect():
     out = crop_with_normalized_box_np(img, [0.4, 0.1, 0.5, 0.9], (16, 16))
     assert out.shape == (16, 16, 1)
     assert np.isfinite(out).all()
+
+
+def test_ih26m_legacy_loader(tmp_path):
+    from cs_vit_tpu.data import InterHand26M
+    from cs_vit_tpu.data.fixtures import make_synthetic_ih26m_legacy
+
+    root = make_synthetic_ih26m_legacy(str(tmp_path / "ih26m_legacy"))
+    ds = InterHand26M(root, "test", img_size=IMG)
+    assert len(ds) == 4
+    rec = ds.datalist[0]
+    assert rec["hand_type"] == "interacting"
+    assert rec["joint_cam"].shape == (42, 3)
+    assert rec["rhand_bbox"] is not None and rec["lhand_bbox"] is not None
+    # joint_img consistent with pinhole projection of joint_cam
+    jc, ji = rec["joint_cam"], rec["joint_img"]
+    f, c = rec["cam_param"]["focal"], rec["cam_param"]["princpt"]
+    u = f[0] * jc[:, 0] / jc[:, 2] + c[0]
+    np.testing.assert_allclose(ji[:, 0], u, atol=1e-3)
+
+    item = ds[0]
+    assert item["right_patch"].shape == (IMG, IMG, 3)
+    assert item["left_valid"] and item["right_valid"]
+    assert item["joint_valid"].shape == (42,)
