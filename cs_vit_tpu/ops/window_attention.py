@@ -44,47 +44,50 @@ def fused_window_attention(
 
     scale2d = logit_scale.reshape(H, 1).astype(jnp.float32)
 
-    # Grid order (w, h, i): the innermost axis walks images while (w, h) —
-    # and therefore the bias block index — stay constant, so Mosaic's
-    # pipeline keeps the [L, L] bias resident in VMEM instead of re-DMAing
-    # it for all B_*H programs (the bias is batch-independent).
-    grid = (nW, H, B_img)
+    # Grid (w, i): one program computes ALL heads of one window instance.
+    # The innermost axis walks images while w — and therefore the bias block
+    # index — stays constant, so Mosaic keeps the [H, L, L] bias resident in
+    # VMEM instead of re-fetching it for every program (it is batch-
+    # independent and the single largest input).
+    grid = (nW, B_img)
     qkv_spec = pl.BlockSpec(
-        (1, 1, L, hd), lambda w, h, i: (i * nW + w, h, 0, 0),
+        (1, H, L, hd), lambda w, i: (i * nW + w, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     bias_spec = pl.BlockSpec(
-        (1, 1, L, L), lambda w, h, i: (w, h, 0, 0), memory_space=pltpu.VMEM
+        (1, H, L, L), lambda w, i: (w, 0, 0, 0), memory_space=pltpu.VMEM
     )
-    # whole scale vector in VMEM; the kernel picks its head's entry
     scale_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec(
-        (1, 1, L, hd), lambda w, h, i: (i * nW + w, h, 0, 0),
+        (1, H, L, hd), lambda w, i: (i * nW + w, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
 
-    def kernel4d(q_ref, k_ref, v_ref, bias_ref, scale_ref, out_ref):
-        q = q_ref[0, 0].astype(jnp.float32)
-        kk = k_ref[0, 0].astype(jnp.float32)
-        vv = v_ref[0, 0].astype(jnp.float32)
-        bb = bias_ref[0, 0].astype(jnp.float32)
-        scale = scale_ref[pl.program_id(1), 0]
+    def kernel(q_ref, k_ref, v_ref, bias_ref, scale_ref, out_ref):
+        for h in range(H):  # static unroll: H independent [L, hd] heads
+            qh = q_ref[0, h].astype(jnp.float32)
+            kh = k_ref[0, h].astype(jnp.float32)
+            vh = v_ref[0, h]
+            bh = bias_ref[0, h].astype(jnp.float32)
+            scale = scale_ref[h, 0]
 
-        qn = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
-        kn = kk * jax.lax.rsqrt(jnp.sum(kk * kk, axis=-1, keepdims=True) + 1e-24)
-        s = jax.lax.dot_general(
-            qn, kn, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        s = s * scale + bb
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        out = jnp.dot(p, vv, preferred_element_type=jnp.float32)
-        out_ref[0, 0] = out.astype(out_ref.dtype)
+            qn = qh * jax.lax.rsqrt(jnp.sum(qh * qh, axis=-1, keepdims=True) + 1e-24)
+            kn = kh * jax.lax.rsqrt(jnp.sum(kh * kh, axis=-1, keepdims=True) + 1e-24)
+            s = jax.lax.dot_general(
+                qn, kn, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * scale + bh
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            out = jnp.dot(
+                p.astype(vh.dtype), vh, preferred_element_type=jnp.float32
+            )
+            out_ref[0, h] = out.astype(out_ref.dtype)
 
     return pl.pallas_call(
-        kernel4d,
+        kernel,
         grid=grid,
         in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, scale_spec],
         out_specs=out_spec,
