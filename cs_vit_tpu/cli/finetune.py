@@ -20,7 +20,8 @@ import jax
 import numpy as np
 
 from ..config import FinetuneConfig
-from ..parallel import fitting_mesh, replicate_state, shard_batch
+from ..parallel import fitting_mesh, replicate_state
+from ..parallel.prefetch import device_prefetch
 from ..train import (
     TrainState,
     build_optimizer,
@@ -125,10 +126,7 @@ def main(cfg: FinetuneConfig, ckpt_root: str = "./checkpoints", log_every: int =
         print_(f"training for epoch {epoch}/{cfg.epoch}, start {t0:%Y-%m-%d_%H:%M:%S}")
         loader.set_epoch(epoch)
         t_log = time.monotonic()
-        for it, host_batch in enumerate(loader):
-            host_batch.pop("imgs_path", None)
-            host_batch.pop("flip", None)
-            batch = shard_batch(host_batch, mesh)
+        for it, batch in enumerate(device_prefetch(loader, mesh)):
             rng, step_rng = jax.random.split(rng)
             state, metrics = train_step(state, batch, step_rng)
 

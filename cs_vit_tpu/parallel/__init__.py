@@ -9,3 +9,4 @@ from .mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from .prefetch import device_prefetch  # noqa: F401
