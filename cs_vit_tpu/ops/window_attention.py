@@ -44,32 +44,41 @@ def fused_window_attention(
 
     scale2d = logit_scale.reshape(H, 1).astype(jnp.float32)
 
-    # Grid (w, i): one program computes ALL heads of one window instance.
-    # The innermost axis walks images while w — and therefore the bias block
-    # index — stays constant, so Mosaic keeps the [H, L, L] bias resident in
-    # VMEM instead of re-fetching it for every program (it is batch-
-    # independent and the single largest input).
-    grid = (nW, B_img)
+    # Head chunking keeps the double-buffered VMEM blocks under budget
+    # (stage 2 of Swin-B has H=16, L=256: a full-head bias block would be
+    # 4 MB x 2 buffers on top of q/k/v/out — over the 16 MB VMEM).
+    Hc = H
+    while Hc > 1 and (Hc * L * L * 4 > 1 << 21 or Hc * L * hd * 4 * 8 > 1 << 21):
+        Hc //= 2
+    n_hc = H // Hc
+
+    # Grid (w, hc, i): one program computes a chunk of heads of one window
+    # instance. The innermost axis walks images while (w, hc) — and therefore
+    # the bias block index — stay constant, so Mosaic keeps the [Hc, L, L]
+    # bias resident in VMEM instead of re-fetching it for every program (it
+    # is batch-independent and the single largest input).
+    grid = (nW, n_hc, B_img)
     qkv_spec = pl.BlockSpec(
-        (1, H, L, hd), lambda w, i: (i * nW + w, 0, 0, 0),
+        (1, Hc, L, hd), lambda w, hc, i: (i * nW + w, hc, 0, 0),
         memory_space=pltpu.VMEM,
     )
     bias_spec = pl.BlockSpec(
-        (1, H, L, L), lambda w, i: (w, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, Hc, L, L), lambda w, hc, i: (w, hc, 0, 0), memory_space=pltpu.VMEM
     )
     scale_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec(
-        (1, H, L, hd), lambda w, i: (i * nW + w, 0, 0, 0),
+        (1, Hc, L, hd), lambda w, hc, i: (i * nW + w, hc, 0, 0),
         memory_space=pltpu.VMEM,
     )
 
     def kernel(q_ref, k_ref, v_ref, bias_ref, scale_ref, out_ref):
-        for h in range(H):  # static unroll: H independent [L, hd] heads
+        hc0 = pl.program_id(1) * Hc
+        for h in range(Hc):  # static unroll over the head chunk
             qh = q_ref[0, h].astype(jnp.float32)
             kh = k_ref[0, h].astype(jnp.float32)
             vh = v_ref[0, h]
             bh = bias_ref[0, h].astype(jnp.float32)
-            scale = scale_ref[h, 0]
+            scale = scale_ref[hc0 + h, 0]
 
             qn = qh * jax.lax.rsqrt(jnp.sum(qh * qh, axis=-1, keepdims=True) + 1e-24)
             kn = kh * jax.lax.rsqrt(jnp.sum(kh * kh, axis=-1, keepdims=True) + 1e-24)
