@@ -37,6 +37,100 @@ class MLP3(nn.Module):
         return nn.Dense(self.dim, name="fc3")(x)
 
 
+class ImageLatentTransformerGroup(nn.Module):
+    """Legacy latent group {horizontal-flip, center-rotation, flip+rotation}.
+
+    Reference `latent_transformers.py:11-163`: each op is a stack of encoder
+    blocks; rotation ops prepend an angle-embedding token and strip it after.
+    The algebraic composition law lives in :func:`compose_hf_cr_hr`.
+    """
+
+    num_layers: int = 1
+    embed_dim: int = 768
+    num_heads: int = 12
+    compat_scale: bool = True
+
+    def setup(self):
+        self.angle_embedder = ContinuousAngleEmbedding(
+            output_dim=self.embed_dim, num_freq=32, name="angle_embedder"
+        )
+        for op in ("hf", "cr", "hr"):
+            setattr(
+                self,
+                f"{op}_layers",
+                [
+                    EncoderBlock(
+                        self.embed_dim, self.num_heads, self.compat_scale,
+                        name=f"{op}{i}",
+                    )
+                    for i in range(self.num_layers)
+                ],
+            )
+
+    def _run(self, layers, x, *, train: bool):
+        for layer in layers:
+            x = layer(x, train=train)
+        return x
+
+    def do_hf(self, patches: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        return self._run(self.hf_layers, patches, train=train)
+
+    def do_cr(
+        self, patches: jnp.ndarray, angle_rad: Optional[jnp.ndarray] = None,
+        *, train: bool = False,
+    ) -> jnp.ndarray:
+        if angle_rad is None:
+            angle_rad = jnp.zeros((patches.shape[0],), patches.dtype)
+        emb = self.angle_embedder(angle_rad)
+        x = jnp.concatenate([emb[:, None], patches], axis=1)
+        return self._run(self.cr_layers, x, train=train)[:, 1:]
+
+    def do_hr(
+        self, patches: jnp.ndarray, angle_rad: Optional[jnp.ndarray] = None,
+        *, train: bool = False,
+    ) -> jnp.ndarray:
+        if angle_rad is None:
+            angle_rad = jnp.zeros((patches.shape[0],), patches.dtype)
+        emb = self.angle_embedder(angle_rad)
+        x = jnp.concatenate([emb[:, None], patches], axis=1)
+        return self._run(self.hr_layers, x, train=train)[:, 1:]
+
+    def __call__(self, patches, angle_rad=None, op: str = "init", *, train: bool = False):
+        if op == "init":  # trace every op so init() creates the full tree
+            out = self.do_cr(patches, angle_rad, train=train)
+            self.do_hf(patches, train=train)
+            self.do_hr(patches, angle_rad, train=train)
+            return out
+        return {"hf": self.do_hf, "cr": self.do_cr, "hr": self.do_hr}[op](
+            patches, **({} if op == "hf" else {"angle_rad": angle_rad}), train=train
+        )
+
+
+# Composition law for the legacy group (ref `latent_transformers.py:43-53`):
+# (first_op, second_op) -> (result_op, factor1, factor2) applied to angles.
+_HF_CR_HR_LAW = {
+    ("hf", "hf"): ("cr", 0, 0),
+    ("hf", "cr"): ("hr", 0, 1),
+    ("hf", "hr"): ("cr", 0, 1),
+    ("cr", "hf"): ("hr", -1, 0),
+    ("cr", "cr"): ("cr", 1, 1),
+    ("cr", "hr"): ("hr", -1, 1),
+    ("hr", "hf"): ("cr", -1, 0),
+    ("hr", "cr"): ("hr", 1, 1),
+    ("hr", "hr"): ("cr", -1, 1),
+}
+
+
+def compose_hf_cr_hr(op1: str, angle1, op2: str, angle2):
+    """Compose two legacy latent ops -> (op, angle)."""
+    result_op, f1, f2 = _HF_CR_HR_LAW[(op1, op2)]
+    if angle1 is None and angle2 is None:
+        return result_op, None
+    a1 = 0.0 if angle1 is None else f1 * angle1
+    a2 = 0.0 if angle2 is None else f2 * angle2
+    return result_op, a1 + a2
+
+
 class ScaleRotTransformationGroup(nn.Module):
     """Token-prepend variant: [scale_emb, angle_emb, patches] -> blocks -> strip.
 

@@ -237,3 +237,23 @@ def test_update_teacher_ema(dino_setup):
     new_teacher = update_teacher(teacher, svars["params"], momentum=0.9)
     for t, s in zip(jax.tree.leaves(new_teacher), jax.tree.leaves(svars["params"])):
         np.testing.assert_allclose(np.asarray(t), 0.1 * np.asarray(s), rtol=1e-5)
+
+
+def test_image_latent_transformer_group(rng):
+    from cs_vit_tpu.models.latent import ImageLatentTransformerGroup, compose_hf_cr_hr
+
+    grp = ImageLatentTransformerGroup(num_layers=1, embed_dim=16, num_heads=2)
+    x = jnp.asarray(rng.normal(size=(2, 8, 16)).astype(np.float32))
+    angle = jnp.asarray([0.3, 1.2], jnp.float32)
+    variables = grp.init(jax.random.key(0), x, angle, "init")
+    for op in ("hf", "cr", "hr"):
+        out = grp.apply(variables, x, angle, op)
+        assert out.shape == x.shape
+
+    # composition law: cr ∘ cr -> cr with angles added
+    op, a = compose_hf_cr_hr("cr", 0.5, "cr", 0.25)
+    assert op == "cr" and np.isclose(a, 0.75)
+    op, a = compose_hf_cr_hr("hf", None, "cr", 0.25)
+    assert op == "hr" and np.isclose(a, 0.25)
+    op, a = compose_hf_cr_hr("hr", 0.5, "hf", None)
+    assert op == "cr" and np.isclose(a, -0.5)
