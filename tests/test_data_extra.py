@@ -102,3 +102,44 @@ def test_ih26m_legacy_loader(tmp_path):
     assert item["right_patch"].shape == (IMG, IMG, 3)
     assert item["left_valid"] and item["right_valid"]
     assert item["joint_valid"].shape == (42,)
+
+
+def test_mano_gt_synthesizer():
+    from cs_vit_tpu.data.mano_gt import ManoGTSynthesizer
+    from cs_vit_tpu.mano import synthetic_assets
+
+    rng = np.random.default_rng(9)
+    synth = ManoGTSynthesizer(synthetic_assets(seed=0))
+    mano_param = {
+        "pose": rng.normal(scale=0.3, size=48),
+        "shape": rng.normal(scale=0.5, size=10),
+        "trans": [0.02, -0.01, 0.5],
+    }
+    cam = {
+        "R": np.eye(3), "t": np.zeros(3),
+        "focal": [240.0, 240.0], "princpt": [80.0, 60.0],
+    }
+    ji, jc, mesh, pose, shape = synth(mano_param, cam, do_flip=False)
+    assert ji.shape == (21, 2) and jc.shape == (21, 3) and mesh.shape == (778, 3)
+    # projection consistency
+    u = 240.0 * jc[:, 0] / jc[:, 2] + 80.0
+    np.testing.assert_allclose(ji[:, 0], u, atol=1e-4)
+
+    # identity extrinsics: camera coords == world MANO output
+    # non-identity R rotates the root pose; result must stay finite
+    cam2 = dict(cam)
+    from scipy.spatial.transform import Rotation
+
+    cam2["R"] = Rotation.from_euler("y", 0.4).as_matrix()
+    cam2["t"] = np.asarray([0.01, 0.0, 0.02])
+    _, jc2, mesh2, _, _ = synth(mano_param, cam2, do_flip=False)
+    assert np.isfinite(jc2).all() and np.isfinite(mesh2).all()
+    assert not np.allclose(jc, jc2)
+
+    # flip path needs img_shape
+    ji3, jc3, mesh3, pose3, _ = synth(
+        mano_param, cam, do_flip=True, img_shape=(120, 160)
+    )
+    assert np.isfinite(jc3).all()
+    # flipped root pose mirrors y/z axis-angle components
+    np.testing.assert_allclose(pose3[1:3], -np.asarray(pose[1:3]), atol=1e-5)
