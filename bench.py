@@ -105,7 +105,7 @@ def bench_predict(model, params, batch_stats, batch, iters, warmup=1):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backbone", default="swinv2-base-256")
-    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     ap.add_argument("--temporal", action="store_true")
