@@ -92,6 +92,7 @@ def poser_config_from(cfg: FinetuneConfig) -> PoserConfig:
         image_size=cfg.img_size,
         global_positioning=cfg.global_positioning,
         attention_impl=cfg.attention_impl,
+        remat=cfg.remat,
     )
 
 

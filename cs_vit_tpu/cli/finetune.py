@@ -116,7 +116,10 @@ def main(cfg: FinetuneConfig, ckpt_root: str = "./checkpoints", log_every: int =
     # 5. mesh + jitted step
     mesh = fitting_mesh(cfg.batch_size)
     state = replicate_state(state, mesh)
-    train_step = make_train_step(model, tx, cfg.phase)
+    import jax.numpy as jnp
+
+    compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
+    train_step = make_train_step(model, tx, cfg.phase, compute_dtype=compute_dtype)
     tb = TBLogger(os.path.join(exp_dir, "tb_logs") if is_main else None, is_main)
 
     rng = jax.random.key(42 + jax.process_index())
@@ -200,6 +203,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--ho3d_root", type=str, default=None)
     p.add_argument("--dexycb_root", type=str, default=None)
     p.add_argument("--mano_model_dir", type=str, default=None)
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--remat", action="store_true", default=False)
     return p
 
 

@@ -59,6 +59,7 @@ class FinetuneConfig:
     mano_model_dir: Optional[str] = None
     dtype: str = "float32"  # compute dtype for the backbone ("bfloat16" on TPU)
     attention_impl: str = "xla"  # "xla" | "pallas" fused window attention
+    remat: bool = False  # rematerialize backbone blocks (saves HBM in training)
 
     def update(self, other: Union["FinetuneConfig", Dict[str, Any]]):
         if isinstance(other, FinetuneConfig):

@@ -86,6 +86,7 @@ class PoserConfig:
     compat_swap: bool = True                # latent embedder swap quirk
     custom_swin: Optional[SwinV2Config] = None  # override (tests / experiments)
     attention_impl: str = "xla"             # "xla" | "pallas" backbone attention
+    remat: bool = False                     # rematerialize backbone blocks
 
     def __post_init__(self):
         assert self.spatial_layer_type in ("decoder", "encoder")
@@ -103,9 +104,9 @@ class PoserConfig:
             return self.custom_swin
         name = self.backbone.lower()
         if "base" in name:
-            return swinv2_base_256(image_size=self.image_size)
+            return swinv2_base_256(image_size=self.image_size, remat=self.remat)
         if "tiny" in name:
-            return swinv2_tiny_256(image_size=self.image_size)
+            return swinv2_tiny_256(image_size=self.image_size, remat=self.remat)
         if "test" in name:  # minimal arch for smoke tests / CI
             return SwinV2Config(
                 image_size=self.image_size, embed_dim=8, depths=(1, 1),
@@ -389,6 +390,13 @@ class Poser(nn.Module):
 
         # Spatial fusion -> [n*B*T, 3, D]
         fused = self.spatial_encoder(query_patches, patches, train=spatial_train)
+
+        if phase == "temporal":
+            # Only the temporal encoders train in this phase
+            # (`ti_poser.py:367-393`); cutting the gradient here skips the
+            # entire backbone+spatial backward pass, whose grads the masked
+            # optimizer would discard anyway.
+            fused = jax.lax.stop_gradient(fused)
 
         apply_temporal = phase in ("inference", "temporal")
         if apply_temporal:

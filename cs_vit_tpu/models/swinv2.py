@@ -46,6 +46,7 @@ class SwinV2Config:
     drop_path_rate: float = 0.1
     layer_norm_eps: float = 1e-5
     pretrained_window_sizes: Tuple[int, ...] = (0, 0, 0, 0)
+    remat: bool = False  # rematerialize blocks (trade FLOPs for HBM in training)
 
     @property
     def num_layers(self) -> int:
@@ -345,9 +346,12 @@ class SwinV2(nn.Module):
         res = H
         dim = cfg.embed_dim
         block_idx = 0
+        block_cls = (
+            nn.remat(SwinV2Block, static_argnums=()) if cfg.remat else SwinV2Block
+        )
         for stage in range(cfg.num_layers):
             for i in range(cfg.depths[stage]):
-                x = SwinV2Block(
+                x = block_cls(
                     config=cfg,
                     dim=dim,
                     resolution=(res, res),

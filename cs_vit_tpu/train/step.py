@@ -28,11 +28,27 @@ def make_train_step(
     tx: optax.GradientTransformation,
     phase: str,
     donate: bool = True,
+    compute_dtype=None,
 ) -> Callable[[TrainState, Dict, jnp.ndarray], Tuple[TrainState, Dict]]:
-    """Build the jitted train step for `phase` ('spatial' | 'temporal')."""
+    """Build the jitted train step for `phase` ('spatial' | 'temporal').
+
+    ``compute_dtype=jnp.bfloat16`` runs the forward/backward in bf16 (MXU
+    native) while master params, optimizer state, the loss and BatchNorm
+    statistics stay float32 (mixed precision; bf16's 8-bit exponent needs no
+    loss scaling).
+    """
 
     def loss_fn(params, batch_stats, batch, rng):
         d_rng, l_rng = jax.random.split(rng)
+        if compute_dtype is not None:
+            cast = lambda t: jax.tree.map(  # noqa: E731
+                lambda x: x.astype(compute_dtype)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                t,
+            )
+            params = cast(params)
+            batch = {**batch, "patches": batch["patches"].astype(compute_dtype)}
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch,
@@ -40,7 +56,11 @@ def make_train_step(
             rngs={"droppath": d_rng, "latent": l_rng},
             mutable=["batch_stats"],
         )
-        return out["loss"], (out, mutated["batch_stats"])
+        stats = jax.tree.map(
+            lambda x: x.astype(jnp.float32) if hasattr(x, "dtype") else x,
+            mutated["batch_stats"],
+        )
+        return out["loss"].astype(jnp.float32), (out, stats)
 
     def train_step(state: TrainState, batch: Dict, rng: jnp.ndarray):
         (loss, (out, new_stats)), grads = jax.value_and_grad(

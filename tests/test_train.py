@@ -141,3 +141,64 @@ def test_merge_params_strict_false():
     np.testing.assert_array_equal(merged["a"]["w"], np.ones((2, 2)))
     np.testing.assert_array_equal(merged["b"]["w"], np.zeros(3))  # shape mismatch kept
     assert "b/w" in skipped
+
+
+def test_train_step_bfloat16_mixed_precision(setup_train):
+    import jax.numpy as jnp
+
+    model, tx, state, batch = setup_train
+    step = make_train_step(
+        model, tx, "spatial", donate=False, compute_dtype=jnp.bfloat16
+    )
+    new_state, metrics = step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # master params and batch stats remain f32
+    assert all(
+        l.dtype == np.float32
+        for l in jax.tree.leaves(new_state.params)
+        if np.issubdtype(l.dtype, np.floating)
+    )
+    assert all(
+        l.dtype == np.float32
+        for l in jax.tree.leaves(new_state.batch_stats)
+        if np.issubdtype(l.dtype, np.floating)
+    )
+    # and parameters actually moved
+    moved = any(
+        float(jnp.abs(a - b).max()) > 0
+        for a, b in zip(
+            jax.tree.leaves(state.params["backbone"]),
+            jax.tree.leaves(new_state.params["backbone"]),
+        )
+    )
+    assert moved
+
+
+def test_temporal_phase_stops_backbone_gradient():
+    """In the temporal phase the backbone receives exactly zero gradient."""
+    import jax.numpy as jnp
+
+    from .helpers import tiny_batch, tiny_poser
+
+    rng = np.random.default_rng(3)
+    model = tiny_poser(temporal_supervision="full")
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(rng, B=2, T=5).items()}
+    variables = model.init(
+        {"params": jax.random.key(0), "droppath": jax.random.key(1)},
+        batch, phase="inference",
+    )
+    params, stats = variables["params"], variables["batch_stats"]
+
+    def loss_fn(p):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": stats}, batch, phase="temporal",
+            rngs={"droppath": jax.random.key(2)}, mutable=["batch_stats"],
+        )
+        return out["loss"]
+
+    g = jax.grad(loss_fn)(params)
+    assert all(float(jnp.abs(l).max()) == 0.0 for l in jax.tree.leaves(g["backbone"]))
+    assert any(
+        float(jnp.abs(l).max()) > 0
+        for l in jax.tree.leaves(g["pose_temporal_encoder"])
+    )
