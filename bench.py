@@ -109,7 +109,7 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     ap.add_argument("--temporal", action="store_true")
-    ap.add_argument("--attn", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--attn", default="hybrid", choices=["xla", "pallas", "hybrid"])
     args = ap.parse_args()
 
     cfg = FinetuneConfig(

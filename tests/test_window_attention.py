@@ -55,3 +55,16 @@ def test_swinv2_pallas_impl_matches_xla_impl(rng):
     out_pl = model_pl.apply({"params": params}, x)
     # per-block deltas are ~5e-6 (f32 reassociation); LNs amplify slightly
     np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla), atol=1e-3)
+
+
+def test_swinv2_hybrid_impl_matches_xla_impl(rng):
+    cfg = SwinV2Config(
+        image_size=32, patch_size=4, embed_dim=8, depths=(2, 2), num_heads=(2, 4),
+        window_size=4, drop_path_rate=0.0, pretrained_window_sizes=(0, 0),
+    )
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    model_xla = SwinV2(cfg, attention_impl="xla")
+    params = model_xla.init(jax.random.key(0), x)["params"]
+    out_xla = model_xla.apply({"params": params}, x)
+    out_hy = SwinV2(cfg, attention_impl="hybrid").apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out_hy), np.asarray(out_xla), atol=1e-3)
