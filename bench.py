@@ -93,13 +93,17 @@ def bench_predict(model, params, batch_stats, batch, iters, warmup=1):
     for _ in range(warmup):
         jax.device_get(f1(params, batch_stats, batch))
 
-    t0 = time.perf_counter()
-    jax.device_get(f1(params, batch_stats, batch))
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    jax.device_get(fk(params, batch_stats, batch))
-    tk = time.perf_counter() - t0
-    return max(tk - t1, 1e-9) / iters
+    # best-of-3: host contention inflates individual readings
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(f1(params, batch_stats, batch))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.device_get(fk(params, batch_stats, batch))
+        tk = time.perf_counter() - t0
+        best = min(best, max(tk - t1, 1e-9) / iters)
+    return best
 
 
 def main():
@@ -109,7 +113,7 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     ap.add_argument("--temporal", action="store_true")
-    ap.add_argument("--attn", default="hybrid", choices=["xla", "pallas", "hybrid"])
+    ap.add_argument("--attn", default="xla", choices=["xla", "pallas", "hybrid"])
     args = ap.parse_args()
 
     cfg = FinetuneConfig(
