@@ -77,8 +77,18 @@ def crop_and_resize_np(
     corners: np.ndarray,  # [N,4,2] (tl,tr,br,bl) in pixel coords
     out_size: Tuple[int, int],
 ) -> np.ndarray:
-    """Host-side kornia-parity crop+resize -> [N,h,w,C]."""
+    """Host-side kornia-parity crop+resize -> [N,h,w,C].
+
+    Uses the C fast path (cs_vit_tpu.native, same arithmetic, ~20-50x faster)
+    when a compiler is available; pure-numpy otherwise.
+    """
     h, w = out_size
+    if images.dtype == np.float32:
+        from ..native import crop_affine_bilinear_batch
+
+        native = crop_affine_bilinear_batch(images, np.asarray(corners), h, w)
+        if native is not None:
+            return native
     out = np.empty((images.shape[0], h, w, images.shape[-1]), dtype=images.dtype)
     for i in range(images.shape[0]):
         grid = _sample_coords(corners[i], h, w, np)

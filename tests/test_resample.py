@@ -141,3 +141,54 @@ def test_scale_rotate_matches_kornia_convention(rng):
         )
     )
     np.testing.assert_allclose(ours, gt, atol=2e-3)
+
+
+def test_native_fastcrop_matches_numpy(rng):
+    """C fast path == numpy path to float rounding (same arithmetic)."""
+    from cs_vit_tpu import native
+    from cs_vit_tpu.ops import resample
+
+    if not native.native_available():
+        pytest.skip("no C compiler available")
+
+    imgs = rng.uniform(size=(3, 37, 53, 3)).astype(np.float32)
+    theta = np.asarray([0.0, 0.7, -2.0])
+    corners = []
+    for t in theta:
+        R = np.asarray([[np.cos(t), -np.sin(t)], [np.sin(t), np.cos(t)]])
+        base = np.asarray([[-20, -15], [20, -15], [20, 15], [-20, 15]], np.float64)
+        corners.append(base @ R.T + [26, 18])
+    corners = np.asarray(corners, np.float32)
+
+    fast = native.crop_affine_bilinear_batch(imgs, corners, 24, 32)
+    slow = np.empty((3, 24, 32, 3), np.float32)
+    for i in range(3):
+        grid = resample._sample_coords(corners[i], 24, 32, np)
+        slow[i] = resample._bilinear_gather_np(imgs[i], grid)
+    np.testing.assert_allclose(fast, slow, atol=2e-6)
+
+
+def test_native_fastcrop_speed(rng):
+    """Native crop must beat numpy by a wide margin (the point of it)."""
+    import time
+
+    from cs_vit_tpu import native
+
+    if not native.native_available():
+        pytest.skip("no C compiler available")
+    from cs_vit_tpu.ops import resample
+
+    img = rng.uniform(size=(1, 480, 640, 3)).astype(np.float32)
+    corners = np.asarray([[[100, 100], [400, 100], [400, 400], [100, 400]]], np.float32)
+
+    t0 = time.perf_counter()
+    for _ in range(5):
+        native.crop_affine_bilinear_batch(img, corners, 256, 256)
+    t_native = (time.perf_counter() - t0) / 5
+
+    t0 = time.perf_counter()
+    grid = resample._sample_coords(corners[0], 256, 256, np)
+    for _ in range(5):
+        resample._bilinear_gather_np(img[0], grid)
+    t_np = (time.perf_counter() - t0) / 5
+    assert t_native < t_np / 3, f"native {t_native*1e3:.2f}ms vs numpy {t_np*1e3:.2f}ms"
