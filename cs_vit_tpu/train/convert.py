@@ -176,6 +176,178 @@ def convert_poser_state_dict(
     return b.params, b.stats
 
 
+def export_poser_state_dict(
+    params: Dict, batch_stats: Dict, config: PoserConfig
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_poser_state_dict`: flax trees -> reference-
+    style torch state_dict names (numpy values), for interchange back to the
+    reference ecosystem (e.g. wrapping into a ``checkpoint.pt["merged"]``).
+
+    Backbone params are exported under HF Swinv2 names with the ``backbone.``
+    prefix. num_batches_tracked counters are synthesized as zeros.
+    """
+    from flax.traverse_util import flatten_dict
+
+    out: Dict[str, np.ndarray] = {}
+    p_flat = flatten_dict(params)
+    s_flat = flatten_dict(batch_stats)
+
+    def lin_out(fpath, tname, bias=True):
+        out[tname + ".weight"] = np.asarray(p_flat[fpath + ("kernel",)]).T
+        if bias:
+            out[tname + ".bias"] = np.asarray(p_flat[fpath + ("bias",)])
+
+    def bn_out(fpath, tname):
+        out[tname + ".weight"] = np.asarray(p_flat[fpath + ("scale",)])
+        out[tname + ".bias"] = np.asarray(p_flat[fpath + ("bias",)])
+        out[tname + ".running_mean"] = np.asarray(s_flat[fpath + ("mean",)])
+        out[tname + ".running_var"] = np.asarray(s_flat[fpath + ("var",)])
+        out[tname + ".num_batches_tracked"] = np.zeros((), np.int64)
+
+    def mha_out(fpath, tname):
+        for n in ("query", "key", "value", "output"):
+            lin_out(fpath + (n,), f"{tname}.{n}")
+
+    def ffn_out(fpath, tname):
+        lin_out(fpath + ("fc1",), f"{tname}.net.0")
+        lin_out(fpath + ("fc2",), f"{tname}.net.2")
+
+    def encoder_block_out(fpath, tname):
+        mha_out(fpath + ("attn",), f"{tname}.attn")
+        ffn_out(fpath + ("ffn",), f"{tname}.ffn")
+        bn_out(fpath + ("norm1",), f"{tname}.norm1")
+        bn_out(fpath + ("norm2",), f"{tname}.norm2")
+
+    def decoder_block_out(fpath, tname):
+        mha_out(fpath + ("self_atten",), f"{tname}.self_atten")
+        mha_out(fpath + ("cross_atten",), f"{tname}.cross_atten")
+        ffn_out(fpath + ("ffn",), f"{tname}.ffn")
+        for n in ("norm1", "norm2", "norm3"):
+            bn_out(fpath + (n,), f"{tname}.{n}")
+
+    def cross_attn_out(fpath, tname):
+        mha_out(fpath + ("cross_atten",), f"{tname}.cross_atten")
+        ffn_out(fpath + ("ffn",), f"{tname}.ffn")
+        bn_out(fpath + ("norm1",), f"{tname}.norm1")
+        bn_out(fpath + ("norm2",), f"{tname}.norm2")
+
+    def angle_emb_out(fpath, tname):
+        out[tname + ".freq_base"] = np.asarray(p_flat[fpath + ("freq_base",)])
+        lin_out(fpath + ("proj",), f"{tname}.proj.0")
+        out[tname + ".proj.2.weight"] = np.asarray(p_flat[fpath + ("norm", "scale")])
+        out[tname + ".proj.2.bias"] = np.asarray(p_flat[fpath + ("norm", "bias")])
+
+    def mlp3_out(fpath, tname):
+        for i, n in ((0, "fc1"), (2, "fc2"), (4, "fc3")):
+            lin_out(fpath + (n,), f"{tname}.{i}")
+
+    # backbone -> HF Swinv2 names
+    sw = config.swin_config()
+    bb = params["backbone"]
+    out["backbone.embeddings.patch_embeddings.projection.weight"] = np.asarray(
+        bb["patch_embed"]["kernel"]
+    ).transpose(3, 2, 0, 1)
+    out["backbone.embeddings.patch_embeddings.projection.bias"] = np.asarray(
+        bb["patch_embed"]["bias"]
+    )
+    out["backbone.embeddings.norm.weight"] = np.asarray(bb["patch_norm"]["scale"])
+    out["backbone.embeddings.norm.bias"] = np.asarray(bb["patch_norm"]["bias"])
+    for s in range(sw.num_layers):
+        for bix in range(sw.depths[s]):
+            blk = bb[f"stage{s}_block{bix}"]
+            base = f"backbone.encoder.layers.{s}.blocks.{bix}"
+            a = blk["attn"]
+            out[base + ".attention.self.logit_scale"] = np.asarray(a["logit_scale"])
+            out[base + ".attention.self.continuous_position_bias_mlp.0.weight"] = (
+                np.asarray(a["cpb1"]["kernel"]).T
+            )
+            out[base + ".attention.self.continuous_position_bias_mlp.0.bias"] = (
+                np.asarray(a["cpb1"]["bias"])
+            )
+            out[base + ".attention.self.continuous_position_bias_mlp.2.weight"] = (
+                np.asarray(a["cpb2"]["kernel"]).T
+            )
+            for n in ("query", "value"):
+                out[base + f".attention.self.{n}.weight"] = np.asarray(a[n]["kernel"]).T
+                out[base + f".attention.self.{n}.bias"] = np.asarray(a[n]["bias"])
+            out[base + ".attention.self.key.weight"] = np.asarray(a["key"]["kernel"]).T
+            out[base + ".attention.output.dense.weight"] = np.asarray(a["proj"]["kernel"]).T
+            out[base + ".attention.output.dense.bias"] = np.asarray(a["proj"]["bias"])
+            for ln_name in ("layernorm_before", "layernorm_after"):
+                out[base + f".{ln_name}.weight"] = np.asarray(blk[ln_name]["scale"])
+                out[base + f".{ln_name}.bias"] = np.asarray(blk[ln_name]["bias"])
+            out[base + ".intermediate.dense.weight"] = np.asarray(
+                blk["intermediate"]["kernel"]
+            ).T
+            out[base + ".intermediate.dense.bias"] = np.asarray(blk["intermediate"]["bias"])
+            out[base + ".output.dense.weight"] = np.asarray(blk["output"]["kernel"]).T
+            out[base + ".output.dense.bias"] = np.asarray(blk["output"]["bias"])
+        if s < sw.num_layers - 1:
+            ds = bb[f"stage{s}_downsample"]
+            out[f"backbone.encoder.layers.{s}.downsample.reduction.weight"] = np.asarray(
+                ds["reduction"]["kernel"]
+            ).T
+            out[f"backbone.encoder.layers.{s}.downsample.norm.weight"] = np.asarray(
+                ds["norm"]["scale"]
+            )
+            out[f"backbone.encoder.layers.{s}.downsample.norm.bias"] = np.asarray(
+                ds["norm"]["bias"]
+            )
+    out["backbone.layernorm.weight"] = np.asarray(bb["layernorm"]["scale"])
+    out["backbone.layernorm.bias"] = np.asarray(bb["layernorm"]["bias"])
+
+    out["query_token"] = np.asarray(params["query_token"])
+
+    lin_out(("perspective_mlp", "proj"), "perspective_mlp.proj")
+    for i, idx in enumerate((0, 3, 6)):
+        bn_out(("perspective_mlp", f"bn{i}"), f"perspective_mlp.layer.{idx}")
+    for i, idx in enumerate((1, 4, 7)):
+        lin_out(("perspective_mlp", f"fc{i}"), f"perspective_mlp.layer.{idx}")
+    lin_out(("perspective_mlp", "out"), "perspective_mlp.layer.9")
+
+    out["spatial_encoder.pe_spatial.pe.weight"] = np.asarray(
+        p_flat[("spatial_encoder", "pe_spatial", "pe")]
+    )
+    for i in range(config.num_spatial_layer):
+        f = ("spatial_encoder", f"layer{i}")
+        t = f"spatial_encoder.layers.{i}"
+        if config.spatial_layer_type == "decoder":
+            decoder_block_out(f, t)
+        else:
+            encoder_block_out(f, t)
+
+    for name in ("pose_temporal_encoder", "shape_temporal_encoder", "root_temporal_encoder"):
+        if config.temporal_supervision == "full":
+            out[f"{name}.pe_temporal.pe.weight"] = np.asarray(
+                p_flat[(name, "pe_temporal", "pe")]
+            )
+            for i in range(config.num_temporal_layer):
+                encoder_block_out((name, f"layer{i}"), f"{name}.layers.{i}")
+        else:
+            for i in range(config.num_temporal_layer):
+                cross_attn_out((name, f"layer{i}"), f"{name}.layers.{i}")
+        out[f"{name}.zero_conv.weight"] = np.asarray(
+            p_flat[(name, "zero_conv", "kernel")]
+        ).T
+
+    for name in ("pose_decoder", "shape_decoder", "root_decoder"):
+        lin_out((name,), f"{name}.0")
+
+    if config.num_latent_layer is not None and "latent_trans" in params:
+        lt = ("latent_trans",)
+        out["latent_trans.rope2d.embedding"] = np.asarray(
+            p_flat[lt + ("rope2d", "embedding")]
+        )
+        angle_emb_out(lt + ("scale_embedder",), "latent_trans.scale_embedder")
+        angle_emb_out(lt + ("angle_embedder",), "latent_trans.angle_embedder")
+        mlp3_out(lt + ("scale_linear",), "latent_trans.scale_linear")
+        mlp3_out(lt + ("angle_linear",), "latent_trans.angle_linear")
+        for i in range(config.num_latent_layer):
+            encoder_block_out(lt + (f"sr{i}",), f"latent_trans.sr.{i}")
+
+    return out
+
+
 def convert_submodule_state_dict(
     state_dict: Dict[str, np.ndarray], kind: str
 ) -> Tuple[Dict, Dict]:

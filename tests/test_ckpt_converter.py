@@ -154,3 +154,53 @@ def test_poser_converter_structure(temporal):
         rngs={"latent": jax.random.key(3)},
     )
     assert np.isfinite(float(out["loss"]))
+
+
+def test_export_import_roundtrip():
+    """flax -> reference-style torch state_dict -> flax is the identity."""
+    from flax.traverse_util import flatten_dict
+
+    from cs_vit_tpu.train.convert import export_poser_state_dict
+
+    cfg = PoserConfig(
+        backbone="custom", custom_swin=SWIN, image_size=IMG,
+        num_spatial_layer=2, num_temporal_layer=1,
+        num_latent_layer=1, persp_decorate="patch",
+        temporal_supervision="full",
+    )
+    assets = synthetic_assets(seed=1)
+    model = Poser(config=cfg, mano=ManoLayer(assets), j_regressor=sh_joint_regressor(assets))
+    import jax.numpy as jnp
+
+    B, T, S = 1, 2, IMG
+    batch = {
+        "patches": jnp.zeros((B, T, S, S, 3)),
+        "square_bboxes": jnp.tile(jnp.asarray([0.0, 0.0, 32.0, 32.0]), (B, T, 1)),
+        "joint_cam": jnp.zeros((B, T, 21, 3)) + 100,
+        "joint_valid": jnp.ones((B, T, 21)),
+        "mano_shape": jnp.zeros((B, T, 10)),
+        "timestamp": jnp.tile(jnp.arange(T, dtype=jnp.float32), (B, 1)),
+        "focal": jnp.full((B, T, 2), 100.0),
+        "princpt": jnp.full((B, T, 2), 16.0),
+    }
+    variables = model.init(
+        {"params": jax.random.key(1), "droppath": jax.random.key(2),
+         "latent": jax.random.key(3)},
+        batch, phase="inference",
+    )
+
+    sd = export_poser_state_dict(
+        variables["params"], variables["batch_stats"], cfg
+    )
+    params2, stats2 = convert_poser_state_dict(sd, cfg)
+
+    for k, v in flatten_dict(variables["params"]).items():
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(flatten_dict(params2)[k]),
+            err_msg="/".join(map(str, k)),
+        )
+    for k, v in flatten_dict(variables["batch_stats"]).items():
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(flatten_dict(stats2)[k]),
+            err_msg="/".join(map(str, k)),
+        )
