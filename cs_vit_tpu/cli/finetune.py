@@ -35,6 +35,7 @@ from ..train import (
     warmup_cosine_schedule,
 )
 from ..utils.logging import TBLogger, nop, print_grouped_losses, wrap_prefix_print
+from ..utils.profiling import StepTimer
 from .common import (
     build_datasets,
     build_loader,
@@ -129,9 +130,11 @@ def main(cfg: FinetuneConfig, ckpt_root: str = "./checkpoints", log_every: int =
         print_(f"training for epoch {epoch}/{cfg.epoch}, start {t0:%Y-%m-%d_%H:%M:%S}")
         loader.set_epoch(epoch)
         t_log = time.monotonic()
+        meter = StepTimer(warmup=2)
         for it, batch in enumerate(device_prefetch(loader, mesh)):
             rng, step_rng = jax.random.split(rng)
             state, metrics = train_step(state, batch, step_rng)
+            meter.update(cfg.batch_size)
 
             if (it + 1) % log_every == 0:
                 loss = float(metrics["loss"])
@@ -150,7 +153,10 @@ def main(cfg: FinetuneConfig, ckpt_root: str = "./checkpoints", log_every: int =
                 t_log = time.monotonic()
 
         t1 = datetime.datetime.now()
-        print_(f"epoch {epoch} ends at {t1:%Y-%m-%d_%H:%M:%S}, cost {t1 - t0}")
+        print_(
+            f"epoch {epoch} ends at {t1:%Y-%m-%d_%H:%M:%S}, cost {t1 - t0}"
+            f" ({meter.samples_per_sec:.1f} samples/s)"
+        )
 
         if is_main:
             print_(f"writing checkpoint for epoch {epoch}")
