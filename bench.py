@@ -106,6 +106,66 @@ def bench_predict(model, params, batch_stats, batch, iters, warmup=1):
     return best
 
 
+def bench_train(model, variables, batch, iters, phase="spatial"):
+    """Training-step throughput (fwd+bwd+optimizer), same timing method."""
+    import optax
+
+    from cs_vit_tpu.train import TrainState, build_optimizer
+
+    tx = build_optimizer(variables["params"], phase, 1e-4)
+    state0 = TrainState.create(
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})},
+        tx,
+    )
+
+    def chained(state, batch, n):
+        def loss_fn(params, stats, patches, rng):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": stats},
+                {**batch, "patches": patches},
+                phase=phase,
+                rngs={"droppath": rng},
+                mutable=["batch_stats"],
+            )
+            return out["loss"], mut["batch_stats"]
+
+        def body(i, carry):
+            state, tick = carry
+            patches = batch["patches"] + (tick * 1e-20).astype(batch["patches"].dtype)
+            rng = jax.random.fold_in(jax.random.key(0), i)
+            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats, patches, rng
+            )
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                params=new_params, opt_state=new_opt, batch_stats=stats,
+                step=state.step + 1,
+            )
+            return new_state, loss.astype(jnp.float32)
+
+        final_state, tick = jax.lax.fori_loop(
+            0, n, body, (state, jnp.zeros((), jnp.float32))
+        )
+        return tick
+
+    f1 = jax.jit(lambda s, b: chained(s, b, 1))
+    fk = jax.jit(lambda s, b: chained(s, b, iters + 1))
+    jax.device_get(f1(state0, batch))
+    jax.device_get(fk(state0, batch))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        jax.device_get(f1(state0, batch))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.device_get(fk(state0, batch))
+        tk = time.perf_counter() - t0
+        best = min(best, max(tk - t1, 1e-9) / iters)
+    return best
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backbone", default="swinv2-base-256")
@@ -113,6 +173,8 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     ap.add_argument("--temporal", action="store_true")
+    ap.add_argument("--train", action="store_true",
+                    help="also bench the spatial train step (fwd+bwd+opt)")
     ap.add_argument("--attn", default="xla", choices=["xla", "pallas", "hybrid"])
     args = ap.parse_args()
 
@@ -134,6 +196,19 @@ def main():
 
     sec_per_step = bench_predict(model, params, batch_stats, batch, args.iters)
     crops_per_sec = args.batch / sec_per_step
+
+    if args.train:
+        tb = args.batch // 2 or 1
+        train_batch = {
+            **make_batch(tb, 1, cfg.img_size, rng),
+            "joint_cam": jnp.asarray(
+                rng.normal(scale=20, size=(tb, 1, 21, 3)) + [0, 0, 400], jnp.float32
+            ),
+            "joint_valid": jnp.ones((tb, 1, 21), jnp.float32),
+            "mano_shape": jnp.zeros((tb, 1, 10), jnp.float32),
+        }
+        t_train = bench_train(model, variables, train_batch, max(args.iters // 2, 3))
+        print(f"# train step (spatial, f32, batch {tb}): {tb / t_train:.1f} crops/s")
 
     if args.temporal:
         tbatch = make_batch(max(args.batch // 8, 1), 7, cfg.img_size, rng)
