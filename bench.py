@@ -106,7 +106,7 @@ def bench_predict(model, params, batch_stats, batch, iters, warmup=1):
     return best
 
 
-def bench_train(model, variables, batch, iters, phase="spatial"):
+def bench_train(model, variables, batch, iters, phase="spatial", compute_dtype=None):
     """Training-step throughput (fwd+bwd+optimizer), same timing method."""
     import optax
 
@@ -121,6 +121,13 @@ def bench_train(model, variables, batch, iters, phase="spatial"):
 
     def chained(state, batch, n):
         def loss_fn(params, stats, patches, rng):
+            if compute_dtype is not None:
+                params = jax.tree.map(
+                    lambda x: x.astype(compute_dtype)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                    params,
+                )
+                patches = patches.astype(compute_dtype)
             out, mut = model.apply(
                 {"params": params, "batch_stats": stats},
                 {**batch, "patches": patches},
@@ -128,7 +135,8 @@ def bench_train(model, variables, batch, iters, phase="spatial"):
                 rngs={"droppath": rng},
                 mutable=["batch_stats"],
             )
-            return out["loss"], mut["batch_stats"]
+            stats32 = jax.tree.map(lambda x: x.astype(jnp.float32), mut["batch_stats"])
+            return out["loss"].astype(jnp.float32), stats32
 
         def body(i, carry):
             state, tick = carry
@@ -207,8 +215,12 @@ def main():
             "joint_valid": jnp.ones((tb, 1, 21), jnp.float32),
             "mano_shape": jnp.zeros((tb, 1, 10), jnp.float32),
         }
-        t_train = bench_train(model, variables, train_batch, max(args.iters // 2, 3))
-        print(f"# train step (spatial, f32, batch {tb}): {tb / t_train:.1f} crops/s")
+        t_train = bench_train(
+            model, variables, train_batch, max(args.iters // 2, 3),
+            compute_dtype=dtype if dtype == jnp.bfloat16 else None,
+        )
+        label = "bf16" if dtype == jnp.bfloat16 else "f32"
+        print(f"# train step (spatial, {label}, batch {tb}): {tb / t_train:.1f} crops/s")
 
     if args.temporal:
         tbatch = make_batch(max(args.batch // 8, 1), 7, cfg.img_size, rng)
