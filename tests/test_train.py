@@ -202,3 +202,40 @@ def test_temporal_phase_stops_backbone_gradient():
         float(jnp.abs(l).max()) > 0
         for l in jax.tree.leaves(g["pose_temporal_encoder"])
     )
+
+
+def test_device_prefetch_yields_sharded_batches():
+    from cs_vit_tpu.parallel import make_mesh
+    from cs_vit_tpu.parallel.prefetch import device_prefetch
+
+    mesh = make_mesh(n_data=8)
+    host_batches = [
+        {
+            "patches": np.full((8, 2, 4, 4, 3), float(i), np.float32),
+            "imgs_path": [f"p{i}"],
+            "flip": [False],
+        }
+        for i in range(3)
+    ]
+    out = list(device_prefetch(iter(host_batches), mesh))
+    assert len(out) == 3
+    for i, b in enumerate(out):
+        assert "imgs_path" not in b and "flip" not in b
+        assert b["patches"].shape == (8, 2, 4, 4, 3)
+        assert float(np.asarray(b["patches"]).max()) == float(i)
+        # sharded along axis 0 over the data mesh
+        assert len(b["patches"].sharding.device_set) == 8
+
+
+def test_device_prefetch_propagates_errors():
+    from cs_vit_tpu.parallel import make_mesh
+    from cs_vit_tpu.parallel.prefetch import device_prefetch
+
+    mesh = make_mesh(n_data=8)
+
+    def gen():
+        yield {"patches": np.zeros((8, 1), np.float32)}
+        raise RuntimeError("loader exploded")
+
+    with pytest.raises(RuntimeError, match="loader exploded"):
+        list(device_prefetch(gen(), mesh))
