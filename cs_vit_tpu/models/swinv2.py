@@ -139,6 +139,52 @@ def window_reverse(windows: jnp.ndarray, window_size: int, H: int, W: int) -> jn
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
 
 
+class DenseParams(nn.Module):
+    """``nn.Dense``-compatible layer whose weights are setup-declared.
+
+    Identical param tree (``kernel`` [in, out], optional ``bias``), identical
+    initializers and promotion semantics — but the raw weights are plain
+    attributes, so the fused whole-block Pallas kernel can consume them
+    directly without tracing a flax call per matmul.
+    """
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_features, self.features)
+        )
+        if self.use_bias:
+            self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = x @ self.kernel
+        if self.use_bias:
+            y = y + self.bias
+        return y
+
+
+class LayerNormParams(nn.Module):
+    """``nn.LayerNorm``-compatible (scale/bias tree, f32 statistics)."""
+
+    dim: int
+    eps: float = 1e-5
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dtype = jnp.promote_types(x.dtype, self.scale.dtype)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y.astype(dtype) * self.scale.astype(dtype) + self.bias.astype(dtype))
+
+
 class DropPath(nn.Module):
     """Stochastic depth: drops the whole residual branch per-sample."""
 
@@ -172,10 +218,10 @@ class WindowAttention(nn.Module):
         )
         self.cpb1 = nn.Dense(512, name="cpb1")
         self.cpb2 = nn.Dense(self.num_heads, use_bias=False, name="cpb2")
-        self.query = nn.Dense(self.dim, use_bias=self.qkv_bias, name="query")
-        self.key = nn.Dense(self.dim, use_bias=False, name="key")
-        self.value = nn.Dense(self.dim, use_bias=self.qkv_bias, name="value")
-        self.proj = nn.Dense(self.dim, name="proj")
+        self.query = DenseParams(self.dim, self.dim, use_bias=self.qkv_bias, name="query")
+        self.key = DenseParams(self.dim, self.dim, use_bias=False, name="key")
+        self.value = DenseParams(self.dim, self.dim, use_bias=self.qkv_bias, name="value")
+        self.proj = DenseParams(self.dim, self.dim, name="proj")
 
         self._coords_table = jnp.asarray(
             _relative_coords_table(self.window_size, self.pretrained_window_size)
@@ -251,6 +297,14 @@ class SwinV2Block(nn.Module):
         )
         self._ws, self._sh = ws, sh
         impl = self.attention_impl
+        # Whole-block Pallas fusion: qkv->attn->proj->LN->res->MLP->LN->res in
+        # one kernel, weights VMEM-resident. Not used when the block's weights
+        # exceed the VMEM budget (stage 3 of Swin-B: 24 MB bf16) — those blocks
+        # fall back to the XLA path.
+        weight_bytes = 2 * (4 * self.dim * self.dim + 2 * self.dim * int(self.dim * self.config.mlp_ratio))
+        self._fused = impl == "fused" and weight_bytes <= 10 * 2**20
+        if impl == "fused":
+            impl = "xla"  # fallback path (droppath-active training, stage 3)
         if impl == "hybrid":
             # Measured on v5e: the fused Pallas kernel wins ~2.2x when an
             # image splits into many windows (small-batch-per-window einsums
@@ -268,10 +322,11 @@ class SwinV2Block(nn.Module):
             name="attn",
         )
         eps = self.config.layer_norm_eps
-        self.layernorm_before = nn.LayerNorm(epsilon=eps, name="layernorm_before")
-        self.layernorm_after = nn.LayerNorm(epsilon=eps, name="layernorm_after")
-        self.intermediate = nn.Dense(int(self.dim * self.config.mlp_ratio), name="intermediate")
-        self.output = nn.Dense(self.dim, name="output")
+        hidden = int(self.dim * self.config.mlp_ratio)
+        self.layernorm_before = LayerNormParams(self.dim, eps, name="layernorm_before")
+        self.layernorm_after = LayerNormParams(self.dim, eps, name="layernorm_after")
+        self.intermediate = DenseParams(self.dim, hidden, name="intermediate")
+        self.output = DenseParams(hidden, self.dim, name="output")
         self.drop_path = DropPath(self.drop_path_rate)
         if sh > 0:
             self._mask = jnp.asarray(
@@ -285,6 +340,8 @@ class SwinV2Block(nn.Module):
         H, W = self.resolution
         B, _, C = x.shape
         ws, sh = self._ws, self._sh
+        if self._fused and (deterministic or self.drop_path_rate == 0.0):
+            return self._fused_forward(x, B, C)
         shortcut = x
 
         x = x.reshape(B, H, W, C)
@@ -303,6 +360,54 @@ class SwinV2Block(nn.Module):
         y = self.output(nn.gelu(self.intermediate(x), approximate=False))
         x = x + self.drop_path(self.layernorm_after(y), deterministic)
         return x
+
+    def _fused_forward(self, x: jnp.ndarray, B: int, C: int) -> jnp.ndarray:
+        """Whole-block Pallas kernel path (see ``cs_vit_tpu.ops.fused_block``)."""
+        from ..ops.fused_block import fused_swin_block
+
+        H, W = self.resolution
+        ws, sh = self._ws, self._sh
+        a = self.attn
+
+        rel_bias = a.relative_position_bias()  # [heads, L, L]
+        scale = jnp.exp(
+            jnp.minimum(self.attn.logit_scale, math.log(100.0))
+        ).reshape(-1)
+
+        # Uniform compute dtype = nn.Dense promotion of (input, params).
+        dt = jnp.promote_types(x.dtype, a.query.kernel.dtype)
+        zero_b = jnp.zeros((C,), dt)
+        wqkv = jnp.concatenate(
+            [a.query.kernel, a.key.kernel, a.value.kernel], axis=1
+        ).astype(dt)
+        bqkv = jnp.concatenate([
+            a.query.bias if self.config.qkv_bias else zero_b,
+            zero_b,  # SwinV2 key has no bias
+            a.value.bias if self.config.qkv_bias else zero_b,
+        ]).astype(dt)
+
+        xi = x.reshape(B, H, W, C).astype(dt)
+        if sh > 0:
+            xi = jnp.roll(xi, shift=(-sh, -sh), axis=(1, 2))
+        y = fused_swin_block(
+            xi,
+            wqkv, bqkv,
+            a.proj.kernel.astype(dt), a.proj.bias.astype(dt),
+            self.layernorm_before.scale.astype(dt), self.layernorm_before.bias.astype(dt),
+            self.intermediate.kernel.astype(dt), self.intermediate.bias.astype(dt),
+            self.output.kernel.astype(dt), self.output.bias.astype(dt),
+            self.layernorm_after.scale.astype(dt), self.layernorm_after.bias.astype(dt),
+            rel_bias.astype(dt),
+            scale,
+            mask=None if self._mask is None else self._mask.astype(dt),
+            window_size=ws,
+            num_heads=self.num_heads,
+            eps=self.config.layer_norm_eps,
+            interpret=jax.default_backend() != "tpu",
+        )
+        if sh > 0:
+            y = jnp.roll(y, shift=(sh, sh), axis=(1, 2))
+        return y.reshape(B, H * W, C)
 
 
 class PatchMerging(nn.Module):

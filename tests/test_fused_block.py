@@ -1,0 +1,73 @@
+"""Parity tests for the fused whole-SwinV2-block Pallas kernel.
+
+The fused path must be numerically interchangeable with the XLA block path
+(same param tree, same outputs) so `attention_impl="fused"` is a pure runtime
+switch. Runs in Pallas interpret mode on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cs_vit_tpu.models.swinv2 import SwinV2Block, SwinV2Config
+
+
+def _make_block(impl, *, res=8, ws=4, shift=0, dim=16, heads=2):
+    cfg = SwinV2Config(
+        image_size=res * 4, patch_size=4, embed_dim=dim,
+        depths=(1,), num_heads=(heads,), window_size=ws,
+        drop_path_rate=0.0,
+    )
+    return SwinV2Block(
+        config=cfg, dim=dim, resolution=(res, res), num_heads=heads,
+        shift_size=shift, drop_path_rate=0.0, attention_impl=impl,
+    )
+
+
+@pytest.mark.parametrize("shift", [0, 2])
+@pytest.mark.parametrize("dtype", [jnp.float32])
+def test_fused_block_matches_xla(rng, shift, dtype):
+    res, ws, dim, heads, B = 8, 4, 16, 2, 2
+    x = jnp.asarray(rng.normal(size=(B, res * res, dim)), dtype)
+
+    ref_block = _make_block("xla", res=res, ws=ws, shift=shift, dim=dim, heads=heads)
+    fused_block = _make_block("fused", res=res, ws=ws, shift=shift, dim=dim, heads=heads)
+
+    params = ref_block.init(jax.random.key(0), x)
+    # identical param trees: the fused path reads the same setup-declared weights
+    params_fused = fused_block.init(jax.random.key(0), x)
+    assert jax.tree.structure(params) == jax.tree.structure(params_fused)
+
+    y_ref = ref_block.apply(params, x)
+    y_fused = fused_block.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref), atol=2e-5, rtol=2e-5)
+
+
+def test_fused_block_multirow_shifted(rng):
+    """Several window rows + shift: exercises the slab grid and mask indexing."""
+    res, ws, dim, heads, B = 12, 4, 8, 2, 2
+    x = jnp.asarray(rng.normal(size=(B, res * res, dim)), jnp.float32)
+    ref_block = _make_block("xla", res=res, ws=ws, shift=2, dim=dim, heads=heads)
+    fused_block = _make_block("fused", res=res, ws=ws, shift=2, dim=dim, heads=heads)
+    params = ref_block.init(jax.random.key(1), x)
+    y_ref = ref_block.apply(params, x)
+    y_fused = fused_block.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref), atol=2e-5, rtol=2e-5)
+
+
+def test_fused_backbone_matches_xla(rng):
+    """Full tiny backbone: fused kernel in-situ across stages + patch merging."""
+    from cs_vit_tpu.models.swinv2 import SwinV2
+
+    cfg = SwinV2Config(
+        image_size=32, patch_size=4, embed_dim=16, depths=(2, 2),
+        num_heads=(2, 4), window_size=4, drop_path_rate=0.0,
+    )
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+    ref = SwinV2(cfg, attention_impl="xla")
+    fused = SwinV2(cfg, attention_impl="fused")
+    params = ref.init(jax.random.key(0), x)
+    y_ref = ref.apply(params, x)
+    y_fused = fused.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref), atol=3e-5, rtol=3e-5)
