@@ -298,13 +298,17 @@ class SwinV2Block(nn.Module):
         self._ws, self._sh = ws, sh
         impl = self.attention_impl
         # Whole-block Pallas fusion: qkv->attn->proj->LN->res->MLP->LN->res in
-        # one kernel, weights VMEM-resident. Not used when the block's weights
-        # exceed the VMEM budget (stage 3 of Swin-B: 24 MB bf16) — those blocks
-        # fall back to the XLA path.
-        weight_bytes = 2 * (4 * self.dim * self.dim + 2 * self.dim * int(self.dim * self.config.mlp_ratio))
-        self._fused = impl == "fused" and weight_bytes <= 10 * 2**20
+        # one kernel, weights VMEM-resident (the kernel raises its scoped-VMEM
+        # limit to 100 MB, so even stage 3 of Swin-B — 48 MB f32 weights —
+        # fits). Blocks whose worst-case (f32) weights would not fit fall back
+        # to the XLA path.
+        weight_bytes = 4 * (
+            4 * self.dim * self.dim
+            + 2 * self.dim * int(self.dim * self.config.mlp_ratio)
+        )
+        self._fused = impl == "fused" and weight_bytes <= 64 * 2**20
         if impl == "fused":
-            impl = "xla"  # fallback path (droppath-active training, stage 3)
+            impl = "xla"  # fallback path for blocks over the VMEM budget
         if impl == "hybrid":
             # Measured on v5e: the fused Pallas kernel wins ~2.2x when an
             # image splits into many windows (small-batch-per-window einsums
@@ -340,8 +344,18 @@ class SwinV2Block(nn.Module):
         H, W = self.resolution
         B, _, C = x.shape
         ws, sh = self._ws, self._sh
-        if self._fused and (deterministic or self.drop_path_rate == 0.0):
-            return self._fused_forward(x, B, C)
+        if self._fused:
+            dp = None
+            if not deterministic and self.drop_path_rate > 0.0:
+                # stochastic depth in-kernel: per-image keep/scale factors
+                # for the two residual branches (matches DropPath semantics)
+                keep = 1.0 - self.drop_path_rate
+                rng = self.make_rng("droppath")
+                dp = (
+                    jax.random.bernoulli(rng, keep, (B, 2)).astype(jnp.float32)
+                    / keep
+                )
+            return self._fused_forward(x, B, C, dp)
         shortcut = x
 
         x = x.reshape(B, H, W, C)
@@ -361,7 +375,9 @@ class SwinV2Block(nn.Module):
         x = x + self.drop_path(self.layernorm_after(y), deterministic)
         return x
 
-    def _fused_forward(self, x: jnp.ndarray, B: int, C: int) -> jnp.ndarray:
+    def _fused_forward(
+        self, x: jnp.ndarray, B: int, C: int, droppath_keep=None
+    ) -> jnp.ndarray:
         """Whole-block Pallas kernel path (see ``cs_vit_tpu.ops.fused_block``)."""
         from ..ops.fused_block import fused_swin_block
 
@@ -400,6 +416,7 @@ class SwinV2Block(nn.Module):
             rel_bias.astype(dt),
             scale,
             mask=None if self._mask is None else self._mask.astype(dt),
+            droppath_keep=droppath_keep,
             window_size=ws,
             num_heads=self.num_heads,
             eps=self.config.layer_norm_eps,

@@ -14,4 +14,5 @@ from .resample import (  # noqa: F401
     expand_bbox_square,
     scale_rotate_img,
 )
+from .fused_block import fused_swin_block  # noqa: F401
 from .window_attention import fused_window_attention, xla_window_attention  # noqa: F401

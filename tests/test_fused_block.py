@@ -56,6 +56,68 @@ def test_fused_block_multirow_shifted(rng):
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref), atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("shift", [0, 2])
+def test_fused_block_grad_matches_xla(rng, shift):
+    """custom_vjp backward (XLA rematerialization) == XLA-path gradients."""
+    res, ws, dim, heads, B = 8, 4, 16, 2, 2
+    x = jnp.asarray(rng.normal(size=(B, res * res, dim)), jnp.float32)
+    ref_block = _make_block("xla", res=res, ws=ws, shift=shift, dim=dim, heads=heads)
+    fused_block = _make_block("fused", res=res, ws=ws, shift=shift, dim=dim, heads=heads)
+    params = ref_block.init(jax.random.key(0), x)
+
+    def loss(block):
+        def f(p, xx):
+            y = block.apply(p, xx)
+            return jnp.sum(y * y)
+        return f
+
+    g_ref_p, g_ref_x = jax.grad(loss(ref_block), argnums=(0, 1))(params, x)
+    g_fus_p, g_fus_x = jax.grad(loss(fused_block), argnums=(0, 1))(params, x)
+    # tolerance: reassociated f32 reductions + the in-kernel rational erf
+    np.testing.assert_allclose(np.asarray(g_fus_x), np.asarray(g_ref_x),
+                               atol=1e-3, rtol=2e-3)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-3, rtol=2e-3
+        ),
+        g_ref_p, g_fus_p,
+    )
+
+
+def test_fused_block_droppath_training(rng):
+    """Droppath-active fused path runs, differs from deterministic, and is
+    differentiable."""
+    res, ws, dim, heads, B = 8, 4, 16, 2, 4
+    cfg = SwinV2Config(
+        image_size=res * 4, patch_size=4, embed_dim=dim,
+        depths=(1,), num_heads=(heads,), window_size=ws, drop_path_rate=0.5,
+    )
+    block = SwinV2Block(
+        config=cfg, dim=dim, resolution=(res, res), num_heads=heads,
+        shift_size=0, drop_path_rate=0.5, attention_impl="fused",
+    )
+    x = jnp.asarray(rng.normal(size=(B, res * res, dim)), jnp.float32)
+    params = block.init(
+        {"params": jax.random.key(0), "droppath": jax.random.key(1)},
+        x, deterministic=False,
+    )
+    det = block.apply(params, x, deterministic=True)
+    sto = block.apply(
+        params, x, deterministic=False, rngs={"droppath": jax.random.key(2)}
+    )
+    assert not np.allclose(np.asarray(det), np.asarray(sto))
+
+    g = jax.grad(
+        lambda p: jnp.sum(
+            block.apply(p, x, deterministic=False,
+                        rngs={"droppath": jax.random.key(2)}) ** 2
+        )
+    )(params)
+    assert all(
+        np.isfinite(np.asarray(leaf)).all() for leaf in jax.tree.leaves(g)
+    )
+
+
 def test_fused_backbone_matches_xla(rng):
     """Full tiny backbone: fused kernel in-situ across stages + patch merging."""
     from cs_vit_tpu.models.swinv2 import SwinV2
