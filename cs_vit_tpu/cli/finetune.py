@@ -145,6 +145,31 @@ def main(cfg: FinetuneConfig, ckpt_root: str = "./checkpoints", log_every: int =
                 tb.scalars(jax.device_get(metrics["scalar_logs"]), global_step)
                 tb.scalar("train/lr", lr_now, global_step)
                 tb.scalar("train/grad", float(metrics["grad_norm"]), global_step)
+                if tb.writer is not None:
+                    # reprojection image grid (ref `finetune.py:245-255`)
+                    from ..utils.vis import training_reprojection_image
+
+                    k = min(4, cfg.batch_size)
+                    host = jax.device_get(
+                        {
+                            "patches": batch["patches"][:k],
+                            "square_bboxes": batch["square_bboxes"][:k],
+                            "focal": batch["focal"][:k],
+                            "princpt": batch["princpt"][:k],
+                            "pred": metrics["joint_cam_pred"][:k],
+                            "gt2d": batch["joint_img"][:k]
+                            if "joint_img" in batch else None,
+                        }
+                    )
+                    grid = training_reprojection_image(
+                        np.asarray(host["patches"], np.float32),
+                        host["square_bboxes"],
+                        host["focal"],
+                        host["princpt"],
+                        host["pred"],
+                        host["gt2d"],
+                    )
+                    tb.image("train/reprojection", grid, global_step)
                 iter_time = (time.monotonic() - t_log) / log_every
                 print_grouped_losses(
                     epoch, it, steps_per_epoch, iter_time, lr_now,

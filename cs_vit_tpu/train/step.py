@@ -91,6 +91,10 @@ def make_train_step(
             "grad_norm": grad_norm,
             "skipped": (~finite).astype(jnp.float32),
             "scalar_logs": out["logs"]["scalar"],
+            # Predicted camera-space joints for host-side reprojection image
+            # logging (ref `scripts/finetune.py:245-255`); tiny [B,T,21,3] and
+            # only fetched on logging steps.
+            "joint_cam_pred": out["predict"]["joint_cam"].astype(jnp.float32),
         }
         return new_state, metrics
 

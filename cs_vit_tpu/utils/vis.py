@@ -69,3 +69,38 @@ def reprojection_grid(
         imgs, pred_local, TARGET_JOINTS_CONNECTION, "red", "gray"
     )
     return np.concatenate(list(imgs), axis=1)  # [S, T*S, 3]
+
+
+def training_reprojection_image(
+    patches: np.ndarray,          # [K,T,S,S,3] float [0,1] model-input crops
+    square_bboxes: np.ndarray,    # [K,T,4] xyxy
+    focal: np.ndarray,            # [K,T,2]
+    princpt: np.ndarray,          # [K,T,2]
+    joint_cam_pred: np.ndarray,   # [K,T,21,3] camera-space mm
+    joint_img_gt: Optional[np.ndarray] = None,  # [K,T,21,2] full-image px
+    max_tiles: int = 8,
+) -> np.ndarray:
+    """Train-loop reprojection grid (ref `scripts/finetune.py:245-255`,
+    `cs_vit/net/ti_poser.py:780-791`): pinhole-reproject predictions and draw
+    pred (red) + GT (green) skeletons on the crops, tiled horizontally."""
+
+    def flat(a):
+        a = np.asarray(a, np.float32)
+        return a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])[:max_tiles]
+
+    jc = flat(joint_cam_pred)
+    f, c = flat(focal), flat(princpt)
+    z = np.where(np.abs(jc[..., -1:]) < 1e-6, 1e-6, jc[..., -1:])
+    uv = np.stack(
+        [
+            f[:, :1] * jc[..., 0] + c[:, :1] * jc[..., 2],
+            f[:, 1:] * jc[..., 1] + c[:, 1:] * jc[..., 2],
+        ],
+        axis=-1,
+    ) / z
+    return reprojection_grid(
+        flat(patches),
+        flat(square_bboxes),
+        uv,
+        None if joint_img_gt is None else flat(joint_img_gt),
+    )
