@@ -33,6 +33,31 @@ from cs_vit_tpu.cli.common import build_model, init_variables
 
 A100_SWINB_CROPS_PER_SEC = 660.0  # nominal fp16 A100 anchor (see module doc)
 NORTH_STAR = 3.0 * A100_SWINB_CROPS_PER_SEC
+V5E_PEAK_BF16_FLOPS = 197e12  # per chip (BASELINE.md matmul calibration: 178 measured)
+
+
+def backbone_flops_per_crop(cfg) -> float:
+    """Analytic forward FLOPs of the SwinV2 backbone for one crop.
+
+    Per window of L=ws^2 tokens at width C: qkv+proj GEMMs 8LC^2, cosine
+    attention 4L^2C, MLP 16LC^2 (hidden=4C); plus patch embed and merges.
+    The non-backbone Poser graph (3-query encoders, MANO FK) is <1% of this.
+    """
+    sc = cfg.swin_config() if hasattr(cfg, "swin_config") else cfg
+    H = sc.image_size // sc.patch_size
+    flops = 2.0 * sc.image_size**2 * 3 * sc.embed_dim * sc.patch_size**2  # embed
+    res, dim = H, sc.embed_dim
+    for stage in range(sc.num_layers):
+        ws = min(res, sc.window_size)
+        L = ws * ws
+        n_win = (res // ws) ** 2
+        per_win = 8 * L * dim**2 + 4 * L**2 * dim + 4 * L * dim * int(dim * sc.mlp_ratio)
+        flops += sc.depths[stage] * n_win * per_win
+        if stage < sc.num_layers - 1:
+            flops += 2.0 * (res // 2) ** 2 * (4 * dim) * (2 * dim)  # merge GEMM
+            res //= 2
+            dim *= 2
+    return float(flops)
 
 
 def make_batch(B, T, S, rng):
@@ -183,7 +208,10 @@ def main():
     ap.add_argument("--temporal", action="store_true")
     ap.add_argument("--train", action="store_true",
                     help="also bench the spatial train step (fwd+bwd+opt)")
-    ap.add_argument("--attn", default="xla", choices=["xla", "pallas", "hybrid"])
+    ap.add_argument("--attn", default="fused",
+                    choices=["xla", "pallas", "hybrid", "fused"],
+                    help="fused = whole-block Pallas kernel (default; "
+                         "1109 vs 796 crops/s for xla at batch 64)")
     args = ap.parse_args()
 
     cfg = FinetuneConfig(
@@ -205,6 +233,18 @@ def main():
     sec_per_step = bench_predict(model, params, batch_stats, batch, args.iters)
     crops_per_sec = args.batch / sec_per_step
 
+    from cs_vit_tpu.cli.common import poser_config_from
+
+    flops_crop = backbone_flops_per_crop(poser_config_from(cfg))
+    extra = {
+        "attn_impl": args.attn,
+        "dtype": args.dtype,
+        "batch": args.batch,
+        "ms_per_crop": round(1e3 * sec_per_step / args.batch, 4),
+        "backbone_gflops_per_crop": round(flops_crop / 1e9, 1),
+        "mfu": round(crops_per_sec * flops_crop / V5E_PEAK_BF16_FLOPS, 4),
+    }
+
     if args.train:
         tb = args.batch // 2 or 1
         train_batch = {
@@ -221,6 +261,12 @@ def main():
         )
         label = "bf16" if dtype == jnp.bfloat16 else "f32"
         print(f"# train step (spatial, {label}, batch {tb}): {tb / t_train:.1f} crops/s")
+        extra["train_crops_per_sec"] = round(tb / t_train, 2)
+        extra["train_batch"] = tb
+        # fwd + bwd ~ 3x forward FLOPs for the trained backbone
+        extra["train_mfu"] = round(
+            3.0 * (tb / t_train) * flops_crop / V5E_PEAK_BF16_FLOPS, 4
+        )
 
     if args.temporal:
         tbatch = make_batch(max(args.batch // 8, 1), 7, cfg.img_size, rng)
@@ -231,6 +277,10 @@ def main():
             f"# temporal T=7 clips/s: {tbatch['patches'].shape[0] / t_sec:.2f}"
             f" ({tbatch['patches'].shape[0] * 7 / t_sec:.1f} frames/s)"
         )
+        extra["temporal_clips_per_sec"] = round(tbatch["patches"].shape[0] / t_sec, 2)
+        extra["temporal_frames_per_sec"] = round(
+            tbatch["patches"].shape[0] * 7 / t_sec, 1
+        )
 
     print(
         json.dumps(
@@ -239,6 +289,7 @@ def main():
                 "value": round(crops_per_sec, 2),
                 "unit": "crops/s",
                 "vs_baseline": round(crops_per_sec / NORTH_STAR, 4),
+                "extra": extra,
             }
         )
     )

@@ -22,6 +22,24 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Modules cheap enough (pure numpy / tiny jits) that together they run in
+# <60s on this 1-core host; `pytest -m smoke` is the fast verification gate.
+_SMOKE_MODULES = {
+    "test_geometry",
+    "test_heatmap_ops",
+    "test_misc_components",
+    "test_legacy_aug",
+    "test_resample",
+    "test_data",
+    "test_data_extra",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)
+
 
 @pytest.fixture
 def rng():

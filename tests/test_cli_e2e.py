@@ -74,6 +74,53 @@ def test_finetune_eval_benchmark_roundtrip(env, capsys):
     assert "mpjpe_pa" in captured
 
 
+def test_tb_reprojection_image_logged(env):
+    """Train-loop reprojection grids reach TensorBoard
+    (ref `scripts/finetune.py:245-255`)."""
+    tb_dir = os.path.join(env["ckpt_root"], "smoke", "tb_logs")
+    assert os.path.isdir(tb_dir), "run after the roundtrip test"
+    blob = b"".join(
+        open(os.path.join(tb_dir, f), "rb").read() for f in os.listdir(tb_dir)
+    )
+    assert b"train/reprojection" in blob
+    assert b"train/lr" in blob
+
+
+def test_analysis_tools_on_fixtures(env, tmp_path):
+    """`tools/analyze_eval_h5.py` + `tools/scan_ih26m_annotations.py` (the two
+    reference-notebook ports) run on the e2e eval dump / synthetic seq.h5."""
+    import importlib.util
+
+    tools_dir = os.path.join(os.path.dirname(__file__), "..", "tools")
+
+    def load(name):
+        spec = importlib.util.spec_from_file_location(
+            name, os.path.join(tools_dir, f"{name}.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    h5_path = os.path.join(env["ckpt_root"], "smoke", "eval_smoke.h5")
+    assert os.path.exists(h5_path), "run after the roundtrip test"
+    analyze = load("analyze_eval_h5")
+    res = analyze.analyze(h5_path)
+    assert "metrics" in res and np.isfinite(res["root_err"]).all()
+    png = str(tmp_path / "roots.png")
+    analyze.plot_roots({h5_path: res}, png)
+    assert os.path.getsize(png) > 0
+
+    from cs_vit_tpu.data.fixtures import make_synthetic_ih26mseq
+
+    seq_root = make_synthetic_ih26mseq(str(tmp_path / "ih26m"))
+    scanner = load("scan_ih26m_annotations")
+    bad = scanner.scan(
+        os.path.join(seq_root, "annotations", "train", "seq.h5"),
+        ["joint_img", "joint_cam"],
+    )
+    assert bad == []  # synthetic fixture is NaN-free
+
+
 def test_config_load_or_create(env, tmp_path):
     root = str(tmp_path / "ck")
     args = {"exp": "cfgtest", "backbone": "test", "batch_size": 2, "epoch": 5}

@@ -104,6 +104,25 @@ def test_ih26m_legacy_loader(tmp_path):
     assert item["joint_valid"].shape == (42,)
 
 
+def test_ih26m_legacy_aid_list(tmp_path):
+    """Test-split aid-list gating (ref `InterHand26M.py:116-124`,
+    `aid_human_annot_test.txt`): only listed annotation ids are loaded."""
+    from cs_vit_tpu.data import InterHand26M
+    from cs_vit_tpu.data.fixtures import make_synthetic_ih26m_legacy
+
+    root = make_synthetic_ih26m_legacy(str(tmp_path / "ih26m_legacy"))
+    aid_file = tmp_path / "aid_human_annot_test.txt"
+    aid_file.write_text("1\n3\n")
+
+    full = InterHand26M(root, "test", img_size=IMG)
+    ds = InterHand26M(root, "test", img_size=IMG, aid_list_path=str(aid_file))
+    assert len(full) == 4 and len(ds) == 2
+    # item 1 in the gated dataset is annotation id 3 (single right hand)
+    assert ds.datalist[1]["hand_type"] == "right"
+    item = ds[0]
+    assert item["right_patch"].shape == (IMG, IMG, 3)
+
+
 def test_mano_gt_synthesizer():
     from cs_vit_tpu.data.mano_gt import ManoGTSynthesizer
     from cs_vit_tpu.mano import synthetic_assets

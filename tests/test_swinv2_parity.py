@@ -21,7 +21,9 @@ torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
 
-def build_pair(image_size, window_size, depths, num_heads, embed_dim=16):
+def build_pair(image_size, window_size, depths, num_heads, embed_dim=16,
+               pretrained_window_sizes=None):
+    pws = pretrained_window_sizes or (0,) * len(depths)
     hf_cfg = transformers.Swinv2Config(
         image_size=image_size,
         patch_size=4,
@@ -35,6 +37,7 @@ def build_pair(image_size, window_size, depths, num_heads, embed_dim=16):
         hidden_dropout_prob=0.0,
         attention_probs_dropout_prob=0.0,
         drop_path_rate=0.1,
+        pretrained_window_sizes=list(pws),
     )
     torch.manual_seed(0)
     hf_model = transformers.Swinv2Model(hf_cfg, add_pooling_layer=False).eval()
@@ -46,7 +49,7 @@ def build_pair(image_size, window_size, depths, num_heads, embed_dim=16):
         depths=tuple(depths),
         num_heads=tuple(num_heads),
         window_size=window_size,
-        pretrained_window_sizes=(0,) * len(depths),
+        pretrained_window_sizes=tuple(pws),
     )
     model = SwinV2(cfg)
     state = {k: v.detach().numpy() for k, v in hf_model.state_dict().items()}
@@ -73,6 +76,28 @@ def test_swinv2_matches_hf(image_size, window, depths, heads, rng):
         {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)), deterministic=True
     )
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("pretrained_ws", [(0, 0), (12, 12)])
+def test_swinv2_production_geometry(rng, pretrained_ws):
+    """Deployed Swin-B geometry: 256px, window 16, shift 8, 64->16 windows.
+
+    Stage 0 (2 blocks at 64x64 tokens, 16 windows, one shifted) + patch merge
+    + one stage-1 block — the exact resolution/window/shift/mask/roll path the
+    production backbone runs (HF load site `cs_vit/net/ti_poser.py:246`).
+    The (12, 12) case covers pretrained_window_sizes != 0 (log-CPB coordinate
+    rescaling by the pretraining window instead of the current one).
+    """
+    hf_model, model, params = build_pair(
+        256, 16, (2, 1), (4, 8), embed_dim=128, pretrained_window_sizes=pretrained_ws
+    )
+    x = rng.normal(size=(1, 3, 256, 256)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf_model(torch.from_numpy(x)).last_hidden_state.numpy()
+    out = model.apply(
+        {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)), deterministic=True
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3, rtol=1e-3)
 
 
 def test_swinv2_output_shape_tiny_config():

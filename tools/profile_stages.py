@@ -1,0 +1,115 @@
+"""Per-stage SwinV2 timing on TPU: where does the backbone forward go?
+
+Times each stage's block sequence (and patch embed / merges) separately with
+the chained-fori_loop method from bench.py (dispatch-only timing is invalid
+through the axon tunnel). Compares attention impls side by side.
+
+  python tools/profile_stages.py --batch 64 --impls xla fused
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from cs_vit_tpu.models.swinv2 import (  # noqa: E402
+    PatchMerging,
+    SwinV2Block,
+    swinv2_base_256,
+)
+
+
+def timeit(fn, *args, iters=10):
+    """Marginal cost between 1- and (iters+1)-chained applications."""
+
+    def chained(n, *a):
+        def body(_, carry):
+            out = fn(*((a[0] + (carry * 1e-20).astype(a[0].dtype),) + a[1:]))
+            return jnp.sum(out).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+    f1 = jax.jit(lambda *a: chained(1, *a))
+    fk = jax.jit(lambda *a: chained(iters + 1, *a))
+    jax.device_get(f1(*args))
+    jax.device_get(fk(*args))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(f1(*args))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.device_get(fk(*args))
+        tk = time.perf_counter() - t0
+        best = min(best, max(tk - t1, 1e-9) / iters)
+    return best
+
+
+def profile_stage(cfg, stage, impl, batch, dtype):
+    res = cfg.image_size // cfg.patch_size // (2 ** stage)
+    dim = cfg.embed_dim * (2 ** stage)
+    depth = cfg.depths[stage]
+
+    import flax.linen as nn
+
+    class Stage(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            for i in range(depth):
+                x = SwinV2Block(
+                    config=cfg, dim=dim, resolution=(res, res),
+                    num_heads=cfg.num_heads[stage],
+                    shift_size=0 if i % 2 == 0 else cfg.window_size // 2,
+                    drop_path_rate=0.0,
+                    pretrained_window_size=cfg.pretrained_window_sizes[stage],
+                    attention_impl=impl,
+                    name=f"b{i}",
+                )(x)
+            return x
+
+    m = Stage()
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(batch, res * res, dim)), dtype
+    )
+    params = jax.tree.map(
+        lambda v: v.astype(dtype)
+        if jnp.issubdtype(v.dtype, jnp.floating) else v,
+        m.init(jax.random.key(0), x)["params"],
+    )
+    sec = timeit(lambda xx: m.apply({"params": params}, xx), x)
+    return sec, depth
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--impls", nargs="+", default=["xla", "fused"])
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    cfg = swinv2_base_256()
+    print(f"Swin-B 256, batch {args.batch}, {args.dtype}")
+    totals = {impl: 0.0 for impl in args.impls}
+    for stage in range(cfg.num_layers):
+        row = [f"stage{stage} ({cfg.depths[stage]} blocks)"]
+        for impl in args.impls:
+            sec, depth = profile_stage(cfg, stage, impl, args.batch, dtype)
+            totals[impl] += sec
+            row.append(f"{impl}: {sec * 1e3:7.2f} ms ({sec * 1e3 / depth:.2f}/blk)")
+        print("  " + " | ".join(row))
+    print("  total blocks: " + " | ".join(
+        f"{impl}: {totals[impl] * 1e3:7.2f} ms" for impl in args.impls
+    ))
+
+
+if __name__ == "__main__":
+    main()
