@@ -75,6 +75,17 @@ def load_backbone_params(backbone_dir: str, swin_config) -> Optional[dict]:
     return convert_hf_swinv2_state_dict(sd, swin_config)
 
 
+def resolve_attention_impl(impl: str) -> str:
+    """'auto' -> the fused whole-block Pallas kernel on TPU (1109 vs 796
+    crops/s at Swin-B/256 batch 64), plain XLA elsewhere (the kernel would
+    run in slow interpret mode on CPU)."""
+    if impl != "auto":
+        return impl
+    import jax
+
+    return "fused" if jax.default_backend() == "tpu" else "xla"
+
+
 def poser_config_from(cfg: FinetuneConfig) -> PoserConfig:
     return PoserConfig(
         backbone=_backbone_arch_name(cfg.backbone),
@@ -91,7 +102,7 @@ def poser_config_from(cfg: FinetuneConfig) -> PoserConfig:
         persp_decorate=cfg.persp_decorate,
         image_size=cfg.img_size,
         global_positioning=cfg.global_positioning,
-        attention_impl=cfg.attention_impl,
+        attention_impl=resolve_attention_impl(cfg.attention_impl),
         remat=cfg.remat,
     )
 

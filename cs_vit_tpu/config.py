@@ -58,7 +58,9 @@ class FinetuneConfig:
     # TPU-specific knobs (new; absent from the reference)
     mano_model_dir: Optional[str] = None
     dtype: str = "float32"  # compute dtype for the backbone ("bfloat16" on TPU)
-    attention_impl: str = "xla"  # "xla" | "pallas" fused window attention
+    # "auto" (fused Pallas whole-block kernel on TPU, XLA elsewhere) |
+    # "xla" | "fused" | "pallas" (attention-only kernel) | "hybrid"
+    attention_impl: str = "auto"
     remat: bool = False  # rematerialize backbone blocks (saves HBM in training)
 
     def update(self, other: Union["FinetuneConfig", Dict[str, Any]]):

@@ -85,7 +85,7 @@ class PoserConfig:
     compat_scale: bool = True               # MHA sqrt(d_h)-multiply quirk
     compat_swap: bool = True                # latent embedder swap quirk
     custom_swin: Optional[SwinV2Config] = None  # override (tests / experiments)
-    attention_impl: str = "xla"             # "xla" | "pallas" backbone attention
+    attention_impl: str = "xla"  # "xla" | "fused" (whole-block Pallas) | "pallas" | "hybrid"
     remat: bool = False                     # rematerialize backbone blocks
 
     def __post_init__(self):

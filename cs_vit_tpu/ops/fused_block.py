@@ -79,8 +79,9 @@ def _block_kernel(
     wproj = wproj_ref[:]
     w1 = w1_ref[:]
     w2 = w2_ref[:]
-    dp0 = dp_ref[0, 0].astype(jnp.float32)            # droppath keep scales
-    dp1 = dp_ref[0, 1].astype(jnp.float32)
+    b = pl.program_id(0)
+    dp0 = dp_ref[b, 0].astype(jnp.float32)            # droppath keep scales
+    dp1 = dp_ref[b, 1].astype(jnp.float32)
 
     def layernorm(xf, s_ref, b_ref):
         # float32 fast-variance statistics (matches flax / LayerNormParams)
@@ -98,7 +99,7 @@ def _block_kernel(
         ) + bqkv                                           # [L, 3C] f32
         qkv = qkv.astype(dt)
 
-        acc = jnp.zeros((L, C), jnp.float32)
+        o_parts = []
         for h in range(heads):
             q = qkv[:, h * hd:(h + 1) * hd].astype(jnp.float32)
             k = qkv[:, C + h * hd:C + (h + 1) * hd].astype(jnp.float32)
@@ -106,8 +107,10 @@ def _block_kernel(
 
             qn = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
             kn = k * jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-24)
+            # normalize in f32, score dot in the compute dtype (f32 MXU passes
+            # are ~4x slower; the XLA parity path runs this einsum in bf16 too)
             s = jax.lax.dot_general(
-                qn, kn, (((1,), (1,)), ((), ())),
+                qn.astype(dt), kn.astype(dt), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             s = s * scale_all[h, 0] + relb_ref[h].astype(jnp.float32)
@@ -116,17 +119,16 @@ def _block_kernel(
             s = s - jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
-            o = jax.lax.dot_general(
+            o_parts.append(jax.lax.dot_general(
                 p.astype(dt), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                             # [L, hd]
-            # proj folded per head: concat(heads) @ Wp == sum_h o_h @ Wp[h]
-            acc = acc + jax.lax.dot_general(
-                o.astype(dt), wproj[h * hd:(h + 1) * hd, :],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        attn_out = acc + bproj_ref[:].astype(jnp.float32)  # [L, C] f32
+            ).astype(dt))                                 # [L, hd]
+        # one K=C proj GEMM (full MXU depth) instead of per-head K=hd dots
+        o_all = jnp.concatenate(o_parts, axis=1)          # [L, C]
+        attn_out = jax.lax.dot_general(
+            o_all, wproj, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bproj_ref[:].astype(jnp.float32)              # [L, C] f32
 
         h1 = win_x.astype(jnp.float32) + dp0 * layernorm(attn_out, ln1s_ref, ln1b_ref)
 
@@ -171,8 +173,9 @@ def _pallas_forward(
         full(w2), full(b2), full(ln2_scale), full(ln2_bias),
         full(rel_bias),
         pl.BlockSpec((num_heads, 1), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-        # per-image droppath keep-scales: scalars -> SMEM
-        pl.BlockSpec((1, 2), lambda b, i: (b, 0), memory_space=pltpu.SMEM),
+        # per-image droppath keep-scales: whole [B,2] array in SMEM (blocked
+        # sub-(8,128) shapes are rejected), indexed by program_id in-kernel
+        pl.BlockSpec((B, 2), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
     ]
     operands = [
         x, wqkv, bqkv, wproj, bproj, ln1_scale, ln1_bias,
@@ -258,7 +261,10 @@ def _block_reference(
 
     qn = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
     kn = k * jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-24)
-    s = jnp.einsum("bhld,bhsd->bhls", qn, kn)
+    s = jnp.einsum(
+        "bhld,bhsd->bhls", qn.astype(dt), kn.astype(dt),
+        preferred_element_type=f32,
+    )
     s = s * logit_scale.reshape(1, heads, 1, 1).astype(f32) + rel_bias[None].astype(f32)
     if mask is not None:
         # mask: [nH*nW, L, L] over the image's window grid (row-major)

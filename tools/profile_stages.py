@@ -88,11 +88,57 @@ def profile_stage(cfg, stage, impl, batch, dtype):
     return sec, depth
 
 
+def profile_model(impl, batch, dtype):
+    """Backbone-only and full-Poser-predict timings (non-backbone overhead)."""
+    from cs_vit_tpu.cli.common import build_model, init_variables
+    from cs_vit_tpu.config import FinetuneConfig
+    from cs_vit_tpu.models.swinv2 import SwinV2
+
+    cfg = FinetuneConfig(
+        exp="prof", backbone="swinv2-base-256", img_size=256,
+        phase="inference", data=["dexycb"], batch_size=batch,
+        attention_impl=impl,
+    )
+    model = build_model(cfg)
+    variables = init_variables(model, cfg, seq_len=1)
+    cast = lambda t: jax.tree.map(  # noqa: E731
+        lambda v: v.astype(dtype)
+        if jnp.issubdtype(v.dtype, jnp.floating) else v, t,
+    )
+    params = cast(variables["params"])
+    stats = variables.get("batch_stats", {})
+
+    rng = np.random.default_rng(0)
+    B, S = batch, 256
+    patches = jnp.asarray(rng.uniform(size=(B, 1, S, S, 3)), dtype)
+    bbox = jnp.tile(jnp.asarray([80.0, 100.0, 400.0, 420.0], jnp.float32), (B, 1, 1))
+    ts = jnp.zeros((B, 1), jnp.float32)
+    focal = jnp.full((B, 1, 2), 600.0, jnp.float32)
+    princ = jnp.full((B, 1, 2), 320.0, jnp.float32)
+
+    def full_predict(p):
+        return model.apply(
+            {"params": params, "batch_stats": stats},
+            p, bbox, ts, focal, princ, "inference", method=model.predict,
+        )["joint_cam"]
+
+    t_full = timeit(full_predict, patches)
+
+    bb = SwinV2(model.config.swin_config(), attention_impl=impl)
+    bb_params = params["backbone"]
+    imgs = patches.reshape(B, S, S, 3)
+
+    t_bb = timeit(lambda x: bb.apply({"params": bb_params}, x), imgs)
+    return t_full, t_bb
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--impls", nargs="+", default=["xla", "fused"])
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--model", action="store_true",
+                    help="also time full Poser predict vs backbone alone")
     args = ap.parse_args()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
@@ -109,6 +155,14 @@ def main():
     print("  total blocks: " + " | ".join(
         f"{impl}: {totals[impl] * 1e3:7.2f} ms" for impl in args.impls
     ))
+    if args.model:
+        for impl in args.impls:
+            t_full, t_bb = profile_model(impl, args.batch, dtype)
+            print(
+                f"  model[{impl}]: predict {t_full * 1e3:7.2f} ms | backbone "
+                f"{t_bb * 1e3:7.2f} ms | non-backbone {(t_full - t_bb) * 1e3:6.2f} ms"
+                f" | {args.batch / t_full:7.1f} crops/s"
+            )
 
 
 if __name__ == "__main__":
