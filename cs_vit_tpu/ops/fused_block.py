@@ -64,86 +64,158 @@ def _gelu_exact(x):
 def _block_kernel(
     x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-    ln2s_ref, ln2b_ref, relb_ref, scale_ref, dp_ref, mask_ref, out_ref,
-    *, ws: int, nW: int, heads: int, eps: float,
+    ln2s_ref, ln2b_ref, relb_ref, scale_ref, dp_ref, mask_ref,
+    out_ref, attn_ref,
+    *, ws: int, Wb: int, RR: int, nWj: int, gs: int, heads: int,
+    eps: float, single: bool,
 ):
-    """One (image, window-row) slab: x_ref/out_ref are [1, ws, W, C]."""
+    """One slab of RR*nWj windows.
+
+    Layouts (dt = compute dtype, f32 accumulation on every dot):
+      x_ref/out_ref  [1, RR*ws, Wb, C] (window-rows of one image)  — or, for
+                     single-window stages, [RR, ws, Wb, C] (RR whole images);
+                     both flatten to the same [S_tok, C] token slab.
+      relb_ref       [G, gs*L, L]   heads of a group stacked along rows
+      scale_ref      [G, 1, gs*hd]  per-head logit scale broadcast over its
+                     hd-column segment (folded into q before the score dot)
+      attn_ref       VMEM scratch [RR*ws, Wb, C] for the attention outputs so
+                     proj/MLP run as single slab-wide GEMMs.
+
+    Attention runs per window with gs heads packed per dot: queries of the
+    group's heads are stacked along rows with block-diagonal masking
+    ([gs*L, gs*hd]), so one MXU pass computes all gs heads' scores at full
+    K = gs*hd = 128 depth — identical padded-pass count to per-head K=hd dots,
+    but with lane-aligned slices and gs-fold fewer op launches.
+    """
     C = x_ref.shape[-1]
     hd = C // heads
+    G = heads // gs
+    GG = gs * hd
     L = ws * ws
+    S_tok = RR * ws * Wb
     dt = x_ref.dtype
+    f32 = jnp.float32
 
-    scale_all = scale_ref[:].astype(jnp.float32)      # [heads, 1]
-    wqkv = wqkv_ref[:]
-    bqkv = bqkv_ref[:].astype(jnp.float32)
-    wproj = wproj_ref[:]
-    w1 = w1_ref[:]
-    w2 = w2_ref[:]
     b = pl.program_id(0)
-    dp0 = dp_ref[b, 0].astype(jnp.float32)            # droppath keep scales
-    dp1 = dp_ref[b, 1].astype(jnp.float32)
 
     def layernorm(xf, s_ref, b_ref):
         # float32 fast-variance statistics (matches flax / LayerNormParams)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
         y = (xf - mean) * jax.lax.rsqrt(var + eps)
-        return y * s_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+        return y * s_ref[:].astype(f32) + b_ref[:].astype(f32)
 
-    for j in range(nW):
-        win_x = x_ref[0, :, j * ws:(j + 1) * ws, :].reshape(L, C)
+    xs = x_ref[:].reshape(S_tok, C)
 
-        qkv = jax.lax.dot_general(
-            win_x, wqkv, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bqkv                                           # [L, 3C] f32
-        qkv = qkv.astype(dt)
+    # slab-wide qkv GEMM: all windows of the slab in one [S_tok, 3C] dot
+    qkv = (
+        jax.lax.dot_general(
+            xs, wqkv_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        + bqkv_ref[:].astype(f32)
+    ).astype(dt)
+    qkv3 = qkv.reshape(RR * ws, Wb, 3 * C)
 
-        o_parts = []
-        for h in range(heads):
-            q = qkv[:, h * hd:(h + 1) * hd].astype(jnp.float32)
-            k = qkv[:, C + h * hd:C + (h + 1) * hd].astype(jnp.float32)
-            v = qkv[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (L, GG), 1) // hd
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (gs * L, GG), 0) // L
+    cidx2 = jax.lax.broadcasted_iota(jnp.int32, (gs * L, GG), 1) // hd
 
-            qn = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
-            kn = k * jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-24)
-            # normalize in f32, score dot in the compute dtype (f32 MXU passes
-            # are ~4x slower; the XLA parity path runs this einsum in bf16 too)
-            s = jax.lax.dot_general(
-                qn.astype(dt), kn.astype(dt), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+    for r in range(RR):
+        for j in range(nWj):
+            qkv_w = qkv3[
+                r * ws:(r + 1) * ws, j * ws:(j + 1) * ws, :
+            ].reshape(L, 3 * C)
+            o_groups = []
+            for g in range(G):
+                q4 = qkv_w[:, g * GG:(g + 1) * GG].astype(f32)
+                k4 = qkv_w[:, C + g * GG:C + (g + 1) * GG].astype(f32)
+                v4 = qkv_w[:, 2 * C + g * GG:2 * C + (g + 1) * GG]
+                # per-head cosine normalization via masked row reductions
+                sq, sk = q4 * q4, k4 * k4
+                rq = jnp.zeros((L, GG), f32)
+                rk = jnp.zeros((L, GG), f32)
+                for h in range(gs):
+                    hm = cidx == h
+                    nq = jnp.sum(jnp.where(hm, sq, 0.0), -1, keepdims=True)
+                    nk = jnp.sum(jnp.where(hm, sk, 0.0), -1, keepdims=True)
+                    rq = rq + jnp.where(hm, jax.lax.rsqrt(nq + 1e-24), 0.0)
+                    rk = rk + jnp.where(hm, jax.lax.rsqrt(nk + 1e-24), 0.0)
+                # logit scale folded into q (scale_h * (qn @ kn^T) == (qn*scale_h) @ kn^T)
+                qn = (q4 * rq * scale_ref[g].astype(f32)).astype(dt)
+                kn = (k4 * rk).astype(dt)
+                # heads stacked along rows, block-diagonal over column segments
+                qbd = jnp.broadcast_to(qn[None], (gs, L, GG)).reshape(gs * L, GG)
+                qbd = jnp.where(ridx == cidx2, qbd, jnp.zeros((), dt))
+                s = jax.lax.dot_general(
+                    qbd, kn, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32,
+                )                                          # [gs*L, L]
+                s = s + relb_ref[g].astype(f32)
+                if mask_ref is not None:
+                    s = (
+                        s.reshape(gs, L, L)
+                        + mask_ref[r * nWj + j][None].astype(f32)
+                    ).reshape(gs * L, L)
+                mx = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - mx)
+                den = jnp.sum(e, axis=-1, keepdims=True)   # [gs*L, 1]
+                o = jax.lax.dot_general(
+                    e.astype(dt), v4, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )                                          # [gs*L, GG]
+                # block-diagonal extraction with the softmax division deferred
+                # to the [L, hd] output (saves a full [L, L] divide per head)
+                og = jnp.zeros((L, GG), f32)
+                for h in range(gs):
+                    blk = o[h * L:(h + 1) * L] / den[h * L:(h + 1) * L]
+                    og = og + jnp.where(cidx == h, blk, 0.0)
+                o_groups.append(og.astype(dt))
+            o_all = o_groups[0] if G == 1 else jnp.concatenate(o_groups, -1)
+            attn_ref[r * ws:(r + 1) * ws, j * ws:(j + 1) * ws, :] = (
+                o_all.reshape(ws, ws, C)
             )
-            s = s * scale_all[h, 0] + relb_ref[h].astype(jnp.float32)
-            if mask_ref is not None:
-                s = s + mask_ref[j].astype(jnp.float32)
-            s = s - jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            o_parts.append(jax.lax.dot_general(
-                p.astype(dt), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(dt))                                 # [L, hd]
-        # one K=C proj GEMM (full MXU depth) instead of per-head K=hd dots
-        o_all = jnp.concatenate(o_parts, axis=1)          # [L, C]
-        attn_out = jax.lax.dot_general(
-            o_all, wproj, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bproj_ref[:].astype(jnp.float32)              # [L, C] f32
 
-        h1 = win_x.astype(jnp.float32) + dp0 * layernorm(attn_out, ln1s_ref, ln1b_ref)
+    # slab-wide proj + MLP GEMMs
+    a = attn_ref[:].reshape(S_tok, C)
+    proj = jax.lax.dot_general(
+        a, wproj_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) + bproj_ref[:].astype(f32)
 
-        m = jax.lax.dot_general(
-            h1.astype(dt), w1, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + b1_ref[:].astype(jnp.float32)
-        m = _gelu_exact(m)
-        m = jax.lax.dot_general(
-            m.astype(dt), w2, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + b2_ref[:].astype(jnp.float32)
+    if single:
+        # slab spans RR images: per-image droppath scales as [S_tok, 1] column
+        dp0 = jnp.concatenate(
+            [jnp.full((ws * Wb, 1), dp_ref[b * RR + r, 0], f32) for r in range(RR)]
+        )
+        dp1 = jnp.concatenate(
+            [jnp.full((ws * Wb, 1), dp_ref[b * RR + r, 1], f32) for r in range(RR)]
+        )
+    else:
+        dp0 = dp_ref[b, 0].astype(f32)
+        dp1 = dp_ref[b, 1].astype(f32)
 
-        y = h1 + dp1 * layernorm(m, ln2s_ref, ln2b_ref)
-        out_ref[0, :, j * ws:(j + 1) * ws, :] = y.astype(dt).reshape(ws, ws, C)
+    h1 = xs.astype(f32) + dp0 * layernorm(proj, ln1s_ref, ln1b_ref)
+
+    m = jax.lax.dot_general(
+        h1.astype(dt), w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) + b1_ref[:].astype(f32)
+    m = _gelu_exact(m)
+    m = jax.lax.dot_general(
+        m.astype(dt), w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) + b2_ref[:].astype(f32)
+
+    y = h1 + dp1 * layernorm(m, ln2s_ref, ln2b_ref)
+    out_ref[:] = y.astype(dt).reshape(x_ref.shape)
+
+
+def _largest_divisor_leq(n: int, cap: int) -> int:
+    d = max(1, min(n, cap))
+    while n % d:
+        d -= 1
+    return d
 
 
 def _pallas_forward(
@@ -153,11 +225,36 @@ def _pallas_forward(
 ):
     B, H, W, C = x.shape
     ws = window_size
-    nH, nW = H // ws, W // ws
+    nH, nWj = H // ws, W // ws
     L = ws * ws
     Ch = w1.shape[1]
+    hd = C // num_heads
 
-    grid = (B, nH)
+    # head grouping: pack gs heads per attention dot so K = gs*hd fills the
+    # 128-lane MXU depth (hd is 32 for every SwinV2 size)
+    gs = _largest_divisor_leq(num_heads, max(1, 128 // max(hd, 1)))
+    G = num_heads // gs
+    GG = gs * hd
+
+    single = nH == 1 and nWj == 1
+    if single:
+        # single-window stages (SwinV2-256 stages 2/3): pack several whole
+        # images into one slab so the GEMMs see M ~= 1024 rows
+        cap = min(max(1, 1024 // L), max(1, 32 // G))
+        RR = _largest_divisor_leq(B, cap)
+        grid = (B // RR, 1)
+        x_spec = pl.BlockSpec(
+            (RR, ws, W, C), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        # multi-window stages: one slab = RR window-rows of one image
+        cap = min(max(1, 1024 // (ws * W)), max(1, 24 // max(1, nWj * G)))
+        RR = _largest_divisor_leq(nH, cap)
+        grid = (B, nH // RR)
+        x_spec = pl.BlockSpec(
+            (1, RR * ws, W, C), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
+        )
+    Wb = W if not single else ws
 
     def full(arr):
         nd = arr.ndim
@@ -165,14 +262,19 @@ def _pallas_forward(
             arr.shape, lambda b, i, _n=nd: (0,) * _n, memory_space=pltpu.VMEM
         )
 
-    x_spec = pl.BlockSpec((1, ws, W, C), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM)
+    # group layouts: heads of a group stacked along rows (free reshape), and
+    # the per-head logit scale broadcast over that head's hd-column segment
+    relb_g = rel_bias.reshape(G, gs * L, L)
+    scale_row = jnp.repeat(
+        logit_scale.reshape(num_heads).astype(jnp.float32), hd
+    ).reshape(G, 1, GG)
+
     in_specs = [
         x_spec,
         full(wqkv), full(bqkv), full(wproj), full(bproj),
         full(ln1_scale), full(ln1_bias), full(w1), full(b1),
         full(w2), full(b2), full(ln2_scale), full(ln2_bias),
-        full(rel_bias),
-        pl.BlockSpec((num_heads, 1), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        full(relb_g), full(scale_row),
         # per-image droppath keep-scales: whole [B,2] array in SMEM (blocked
         # sub-(8,128) shapes are rejected), indexed by program_id in-kernel
         pl.BlockSpec((B, 2), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
@@ -180,23 +282,25 @@ def _pallas_forward(
     operands = [
         x, wqkv, bqkv, wproj, bproj, ln1_scale, ln1_bias,
         w1, b1, w2, b2, ln2_scale, ln2_bias,
-        rel_bias, logit_scale.reshape(num_heads, 1).astype(jnp.float32),
+        relb_g, scale_row,
         dp.astype(jnp.float32),
     ]
+    kw = dict(
+        ws=ws, Wb=Wb, RR=RR, nWj=nWj, gs=gs, heads=num_heads, eps=eps,
+        single=single,
+    )
     if mask is not None:
         in_specs.append(
-            pl.BlockSpec((nW, L, L), lambda b, i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (RR * nWj, L, L), lambda b, i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
         )
         operands.append(mask)
-        kernel = functools.partial(
-            _block_kernel, ws=ws, nW=nW, heads=num_heads, eps=eps
-        )
+        kernel = functools.partial(_block_kernel, **kw)
     else:
         def kernel(*refs):
-            *ins, out_ref = refs
-            _block_kernel(
-                *ins, None, out_ref, ws=ws, nW=nW, heads=num_heads, eps=eps
-            )
+            *ins, out_ref, attn_ref = refs
+            _block_kernel(*ins, None, out_ref, attn_ref, **kw)
 
     # FLOPs: qkv+proj 8*L*C*C, attn 4*L*L*C, mlp 4*L*C*Ch per window
     flops_per_win = 8 * L * C * C + 4 * L * L * C + 4 * L * C * Ch
@@ -206,19 +310,20 @@ def _pallas_forward(
         in_specs=in_specs,
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((RR * ws, Wb, C), x.dtype)],
         interpret=interpret,
-        # Stage-2 f32 instances need ~24 MB of scoped VMEM (weights + CPB
-        # bias + stack) — above the 16 MB compiler default, well under the
-        # 128 MB/core physical VMEM of v5e/v5p.
+        # Stage-2/3 f32 instances need tens of MB of scoped VMEM (weights +
+        # CPB bias + slab activations) — above the 16 MB compiler default,
+        # well under the 128 MB/core physical VMEM of v5e/v5p.
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=100 * 2**20,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=B * nH * nW * flops_per_win,
+            flops=B * nH * nWj * flops_per_win,
             bytes_accessed=2 * x.size * x.dtype.itemsize
             + (wqkv.size + wproj.size + w1.size + w2.size) * wqkv.dtype.itemsize,
-            transcendentals=B * nH * nW * (L * L + L * Ch),
+            transcendentals=B * nH * nWj * (L * L + L * Ch),
         ),
     )(*operands)
 

@@ -37,7 +37,7 @@ _SMOKE_MODULES = {
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        if item.module.__name__ in _SMOKE_MODULES:
+        if item.module.__name__.rsplit(".", 1)[-1] in _SMOKE_MODULES:
             item.add_marker(pytest.mark.smoke)
 
 

@@ -116,19 +116,21 @@ def profile_model(impl, batch, dtype):
     focal = jnp.full((B, 1, 2), 600.0, jnp.float32)
     princ = jnp.full((B, 1, 2), 320.0, jnp.float32)
 
-    def full_predict(p):
+    # params/aux must be jit ARGUMENTS: captured constants are inlined into
+    # the HLO and blow the remote-compile request-body limit (HTTP 413)
+    def full_predict(p, prm, st, bb_, ts_, f_, pp_):
         return model.apply(
-            {"params": params, "batch_stats": stats},
-            p, bbox, ts, focal, princ, "inference", method=model.predict,
+            {"params": prm, "batch_stats": st},
+            p, bb_, ts_, f_, pp_, "inference", method=model.predict,
         )["joint_cam"]
 
-    t_full = timeit(full_predict, patches)
+    t_full = timeit(full_predict, patches, params, stats, bbox, ts, focal, princ)
 
     bb = SwinV2(model.config.swin_config(), attention_impl=impl)
     bb_params = params["backbone"]
     imgs = patches.reshape(B, S, S, 3)
 
-    t_bb = timeit(lambda x: bb.apply({"params": bb_params}, x), imgs)
+    t_bb = timeit(lambda x, prm: bb.apply({"params": prm}, x), imgs, bb_params)
     return t_full, t_bb
 
 
