@@ -211,11 +211,321 @@ def _block_kernel(
     out_ref[:] = y.astype(dt).reshape(x_ref.shape)
 
 
+def _gelu_grad(x):
+    """d/dx of exact-erf GELU: Phi(x) + x * phi(x)."""
+    phi = jnp.exp(-0.5 * x * x) * 0.3989422804014327  # 1/sqrt(2*pi)
+    return 0.5 * (1.0 + _erf(x * 0.7071067811865476)) + x * phi
+
+
 def _largest_divisor_leq(n: int, cap: int) -> int:
     d = max(1, min(n, cap))
     while n % d:
         d -= 1
     return d
+
+
+def _bwd_kernel(
+    g_ref, x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    ln2s_ref, ln2b_ref, relb_ref, scale_ref, dp_ref, mask_ref,
+    # outputs
+    dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+    dln1s_ref, dln1b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+    dln2s_ref, dln2b_ref, drb_ref, dscale_ref,
+    # scratch
+    qkv_s, p_s, attn_s, proj_s, h1_s, m1_s, mg_s, m2_s, qkvb_s,
+    *, ws: int, Wb: int, RR: int, nWj: int, gs: int, heads: int,
+    eps: float, single: bool,
+):
+    """Backward of the fused block: recompute the forward slab in VMEM, then
+    backprop through it, accumulating weight grads across the whole grid in
+    f32 output blocks (constant index maps + arbitrary grid semantics)."""
+    C = x_ref.shape[-1]
+    hd = C // heads
+    G = heads // gs
+    GG = gs * hd
+    L = ws * ws
+    S_tok = RR * ws * Wb
+    dt = x_ref.dtype
+    f32 = jnp.float32
+
+    b = pl.program_id(0)
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _zero_accums():
+        for ref in (
+            dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+            dln1s_ref, dln1b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+            dln2s_ref, dln2b_ref, drb_ref, dscale_ref,
+        ):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    def ln_stats(xf):
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+        r = jax.lax.rsqrt(var + eps)
+        return (xf - mean) * r, r
+
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (L, GG), 1) // hd
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (gs * L, GG), 0) // L
+    cidx2 = jax.lax.broadcasted_iota(jnp.int32, (gs * L, GG), 1) // hd
+    bd = ridx == cidx2
+
+    # ---- forward recompute (slab in VMEM), saving what the bwd needs ----
+    xs = x_ref[:].reshape(S_tok, C)
+    qkv_s[...] = (
+        jax.lax.dot_general(
+            xs, wqkv_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        + bqkv_ref[:].astype(f32)
+    ).astype(dt).reshape(qkv_s.shape)
+    qkv3 = qkv_s[...].reshape(RR * ws, Wb, 3 * C)
+
+    def win_qkv(r, j):
+        return qkv3[r * ws:(r + 1) * ws, j * ws:(j + 1) * ws, :].reshape(L, 3 * C)
+
+    def group_qkn(qkv_w, g):
+        """Recompute the group's normalized q-hat (scale folded), kn, v, and
+        the norm factors needed for the normalize backward."""
+        q4 = qkv_w[:, g * GG:(g + 1) * GG].astype(f32)
+        k4 = qkv_w[:, C + g * GG:C + (g + 1) * GG].astype(f32)
+        v4 = qkv_w[:, 2 * C + g * GG:2 * C + (g + 1) * GG]
+        sq, sk = q4 * q4, k4 * k4
+        rq = jnp.zeros((L, GG), f32)
+        rk = jnp.zeros((L, GG), f32)
+        for h in range(gs):
+            hm = cidx == h
+            nq = jnp.sum(jnp.where(hm, sq, 0.0), -1, keepdims=True)
+            nk = jnp.sum(jnp.where(hm, sk, 0.0), -1, keepdims=True)
+            rq = rq + jnp.where(hm, jax.lax.rsqrt(nq + 1e-24), 0.0)
+            rk = rk + jnp.where(hm, jax.lax.rsqrt(nk + 1e-24), 0.0)
+        lam = scale_ref[g].astype(f32)             # [1, GG]
+        qh = q4 * rq * lam                         # q-hat (scale folded) f32
+        kn = k4 * rk
+        return q4, k4, v4, rq, rk, lam, qh, kn
+
+    for r in range(RR):
+        for j in range(nWj):
+            qkv_w = win_qkv(r, j)
+            o_groups = []
+            for g in range(G):
+                _, _, v4, _, _, _, qh, kn = group_qkn(qkv_w, g)
+                qbd = jnp.broadcast_to(
+                    qh.astype(dt)[None], (gs, L, GG)
+                ).reshape(gs * L, GG)
+                qbd = jnp.where(bd, qbd, jnp.zeros((), dt))
+                s = jax.lax.dot_general(
+                    qbd, kn.astype(dt), (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32,
+                ) + relb_ref[g].astype(f32)
+                if mask_ref is not None:
+                    s = (
+                        s.reshape(gs, L, L)
+                        + mask_ref[r * nWj + j][None].astype(f32)
+                    ).reshape(gs * L, L)
+                e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+                den = jnp.sum(e, axis=-1, keepdims=True)
+                p = e / den
+                wi = (r * nWj + j) * G + g
+                p_s[wi] = p.astype(dt)
+                o = jax.lax.dot_general(
+                    p.astype(dt), v4, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+                og = jnp.zeros((L, GG), f32)
+                for h in range(gs):
+                    og = og + jnp.where(cidx == h, o[h * L:(h + 1) * L], 0.0)
+                o_groups.append(og.astype(dt))
+            o_all = o_groups[0] if G == 1 else jnp.concatenate(o_groups, -1)
+            attn_s[r * ws:(r + 1) * ws, j * ws:(j + 1) * ws, :] = (
+                o_all.reshape(ws, ws, C)
+            )
+
+    a = attn_s[...].reshape(S_tok, C)
+    proj_s[...] = (
+        jax.lax.dot_general(
+            a, wproj_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        + bproj_ref[:].astype(f32)
+    ).reshape(proj_s.shape)
+
+    if single:
+        dp0 = jnp.concatenate(
+            [jnp.full((ws * Wb, 1), dp_ref[b * RR + r, 0], f32) for r in range(RR)]
+        )
+        dp1 = jnp.concatenate(
+            [jnp.full((ws * Wb, 1), dp_ref[b * RR + r, 1], f32) for r in range(RR)]
+        )
+    else:
+        dp0 = dp_ref[b, 0].astype(f32)
+        dp1 = dp_ref[b, 1].astype(f32)
+
+    z1, r1 = ln_stats(proj_s[...].reshape(S_tok, C))
+    ln1s = ln1s_ref[:].astype(f32)
+    h1 = xs.astype(f32) + dp0 * (z1 * ln1s + ln1b_ref[:].astype(f32))
+    h1_s[...] = h1.reshape(h1_s.shape)
+
+    m1 = jax.lax.dot_general(
+        h1.astype(dt), w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) + b1_ref[:].astype(f32)
+    m1_s[...] = m1.astype(dt).reshape(m1_s.shape)
+    mg = _gelu_exact(m1)
+    mg_s[...] = mg.astype(dt).reshape(mg_s.shape)
+    m2_s[...] = (
+        jax.lax.dot_general(
+            mg.astype(dt), w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        + b2_ref[:].astype(f32)
+    ).reshape(m2_s.shape)
+
+    # ---- backward ----
+    gy = g_ref[:].reshape(S_tok, C).astype(f32)
+
+    # y = h1 + dp1 * (z2*g2 + b2)
+    z2, r2 = ln_stats(m2_s[...].reshape(S_tok, C))
+    gz2 = gy * dp1
+    dln2s_ref[...] += jnp.sum(gz2 * z2, axis=0, keepdims=True)
+    dln2b_ref[...] += jnp.sum(gz2, axis=0, keepdims=True)
+    zb2 = gz2 * ln2s_ref[:].astype(f32)
+    m2b = (
+        zb2
+        - jnp.mean(zb2, axis=-1, keepdims=True)
+        - z2 * jnp.mean(zb2 * z2, axis=-1, keepdims=True)
+    ) * r2                                            # [S, C] f32
+
+    # MLP backward
+    mg_v = mg_s[...].reshape(S_tok, m1_s.shape[-1])
+    dw2_ref[...] += jax.lax.dot_general(
+        mg_v, m2b.astype(dt), (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    db2_ref[...] += jnp.sum(m2b, axis=0, keepdims=True)
+    mgb = jax.lax.dot_general(
+        m2b.astype(dt), w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    m1b = mgb * _gelu_grad(m1_s[...].reshape(S_tok, -1).astype(f32))
+    h1_v = h1_s[...].reshape(S_tok, C)
+    dw1_ref[...] += jax.lax.dot_general(
+        h1_v.astype(dt), m1b.astype(dt), (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    db1_ref[...] += jnp.sum(m1b, axis=0, keepdims=True)
+    h1b = gy + jax.lax.dot_general(
+        m1b.astype(dt), w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )
+
+    # h1 = xs + dp0 * (z1*g1 + b1)
+    gz1 = h1b * dp0
+    dln1s_ref[...] += jnp.sum(gz1 * z1, axis=0, keepdims=True)
+    dln1b_ref[...] += jnp.sum(gz1, axis=0, keepdims=True)
+    zb1 = gz1 * ln1s
+    projb = (
+        zb1
+        - jnp.mean(zb1, axis=-1, keepdims=True)
+        - z1 * jnp.mean(zb1 * z1, axis=-1, keepdims=True)
+    ) * r1
+
+    dwproj_ref[...] += jax.lax.dot_general(
+        a, projb.astype(dt), (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    dbproj_ref[...] += jnp.sum(projb, axis=0, keepdims=True)
+    ab = jax.lax.dot_general(
+        projb.astype(dt), wproj_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    ).astype(dt)                                      # [S, C] attn-out grad
+    ab3 = ab.reshape(RR * ws, Wb, C)
+
+    # attention backward per (window, group) -> qkv grad slab
+    for r in range(RR):
+        for j in range(nWj):
+            qkv_w = win_qkv(r, j)
+            ow = ab3[
+                r * ws:(r + 1) * ws, j * ws:(j + 1) * ws, :
+            ].reshape(L, C)
+            qbs, kbs, vbs = [], [], []
+            for g in range(G):
+                q4, k4, v4, rq, rk, lam, qh, kn = group_qkn(qkv_w, g)
+                og = ow[:, g * GG:(g + 1) * GG]       # [L, GG] dt
+                obd = jnp.broadcast_to(
+                    og[None], (gs, L, GG)
+                ).reshape(gs * L, GG)
+                obd = jnp.where(bd, obd, jnp.zeros((), dt))
+                wi = (r * nWj + j) * G + g
+                p = p_s[wi]                            # [gs*L, L] dt
+                # v-grad: [L, GG] = p^T(stacked) x obd
+                vb = jax.lax.dot_general(
+                    p, obd, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+                # p-grad and softmax jacobian
+                pb = jax.lax.dot_general(
+                    obd, v4, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32,
+                )                                      # [gs*L, L]
+                pf = p.astype(f32)
+                sb = pf * (pb - jnp.sum(pb * pf, axis=-1, keepdims=True))
+                drb_ref[g] += sb
+                sbd = sb.astype(dt)
+                # q-hat grad (stacked) -> unstack block-diagonal rows
+                qhb_bd = jax.lax.dot_general(
+                    sbd, kn.astype(dt), (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )                                      # [gs*L, GG]
+                qhb = jnp.zeros((L, GG), f32)
+                for h in range(gs):
+                    qhb = qhb + jnp.where(
+                        cidx == h, qhb_bd[h * L:(h + 1) * L], 0.0
+                    )
+                # k-grad via the stacked q-hat
+                qbd = jnp.broadcast_to(
+                    qh.astype(dt)[None], (gs, L, GG)
+                ).reshape(gs * L, GG)
+                qbd = jnp.where(bd, qbd, jnp.zeros((), dt))
+                knb = jax.lax.dot_general(
+                    sbd, qbd, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )                                      # [L, GG]
+                # logit-scale grad: sum over rows of qhb * qn (qn = qh/lam)
+                dscale_ref[g] += jnp.sum(
+                    qhb * qh / lam, axis=0, keepdims=True
+                )
+                # normalize backward: d/dq (q*rq) applied to (qhb*lam)
+                qnb = qhb * lam
+                qb = jnp.zeros((L, GG), f32)
+                kb = jnp.zeros((L, GG), f32)
+                for h in range(gs):
+                    hm = cidx == h
+                    dq = jnp.sum(jnp.where(hm, qnb * q4, 0.0), -1, keepdims=True)
+                    dk = jnp.sum(jnp.where(hm, knb * k4, 0.0), -1, keepdims=True)
+                    qb = qb + jnp.where(hm, rq * (qnb - q4 * rq * rq * dq), 0.0)
+                    kb = kb + jnp.where(hm, rk * (knb - k4 * rk * rk * dk), 0.0)
+                qbs.append(qb)
+                kbs.append(kb)
+                vbs.append(vb)
+            qkvb_w = jnp.concatenate(qbs + kbs + vbs, axis=-1)  # [L, 3C]
+            qkvb_s[
+                r * ws:(r + 1) * ws, j * ws:(j + 1) * ws, :
+            ] = qkvb_w.reshape(ws, ws, 3 * C)
+
+    qkvb = qkvb_s[...].reshape(S_tok, 3 * C)
+    dwqkv_ref[...] += jax.lax.dot_general(
+        xs, qkvb.astype(dt), (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    dbqkv_ref[...] += jnp.sum(qkvb, axis=0, keepdims=True)
+    xb = h1b + jax.lax.dot_general(
+        qkvb.astype(dt), wqkv_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    dx_ref[:] = xb.astype(dt).reshape(x_ref.shape)
 
 
 def _pallas_forward(
@@ -417,8 +727,173 @@ def _fused_block_fwd(static, *args):
     return _fused_block_ad(static, *args), args
 
 
+def _pallas_backward(
+    g, x, wqkv, bqkv, wproj, bproj, ln1_scale, ln1_bias, w1, b1, w2, b2,
+    ln2_scale, ln2_bias, rel_bias, logit_scale, dp, mask=None,
+    *, window_size: int, num_heads: int, eps: float, interpret: bool,
+):
+    """Fused-block backward as one Pallas kernel: the forward is recomputed
+    per slab in VMEM (rematerialization) and backpropagated in place; weight
+    gradients accumulate in f32 output blocks across the (sequential) grid."""
+    B, H, W, C = x.shape
+    ws = window_size
+    nH, nWj = H // ws, W // ws
+    L = ws * ws
+    Ch = w1.shape[1]
+    hd = C // num_heads
+
+    gs = _largest_divisor_leq(num_heads, max(1, 128 // max(hd, 1)))
+    G = num_heads // gs
+    GG = gs * hd
+
+    single = nH == 1 and nWj == 1
+    if single:
+        cap = min(max(1, 1024 // L), max(1, 32 // G))
+        RR = _largest_divisor_leq(B, cap)
+        grid = (B // RR, 1)
+        x_spec = pl.BlockSpec(
+            (RR, ws, W, C), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        cap = min(max(1, 1024 // (ws * W)), max(1, 24 // max(1, nWj * G)))
+        RR = _largest_divisor_leq(nH, cap)
+        grid = (B, nH // RR)
+        x_spec = pl.BlockSpec(
+            (1, RR * ws, W, C), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
+        )
+    Wb = W if not single else ws
+    S_tok = RR * ws * Wb
+    nWin = RR * nWj
+
+    def full(arr):
+        nd = arr.ndim
+        return pl.BlockSpec(
+            arr.shape, lambda b, i, _n=nd: (0,) * _n, memory_space=pltpu.VMEM
+        )
+
+    relb_g = rel_bias.reshape(G, gs * L, L)
+    scale_row = jnp.repeat(
+        logit_scale.reshape(num_heads).astype(jnp.float32), hd
+    ).reshape(G, 1, GG)
+
+    in_specs = [
+        x_spec, x_spec,
+        full(wqkv), full(bqkv), full(wproj), full(bproj),
+        full(ln1_scale), full(ln1_bias), full(w1), full(b1),
+        full(w2), full(b2), full(ln2_scale), full(ln2_bias),
+        full(relb_g), full(scale_row),
+        pl.BlockSpec((B, 2), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    operands = [
+        g, x, wqkv, bqkv, wproj, bproj, ln1_scale, ln1_bias,
+        w1, b1, w2, b2, ln2_scale, ln2_bias,
+        relb_g, scale_row, dp.astype(jnp.float32),
+    ]
+    kw = dict(
+        ws=ws, Wb=Wb, RR=RR, nWj=nWj, gs=gs, heads=num_heads, eps=eps,
+        single=single,
+    )
+    if mask is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (RR * nWj, L, L), lambda b, i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        operands.append(mask)
+        kernel = functools.partial(_bwd_kernel, **kw)
+    else:
+        def kernel(*refs):
+            ins, outs = refs[:17], refs[17:]
+            _bwd_kernel(*ins, None, *outs, **kw)
+
+    f32 = jnp.float32
+    acc = lambda shape: jax.ShapeDtypeStruct(shape, f32)  # noqa: E731
+
+    def acc_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            shape, lambda b, i, _n=nd: (0,) * _n, memory_space=pltpu.VMEM
+        )
+
+    out_shapes = [
+        jax.ShapeDtypeStruct(x.shape, x.dtype),          # dx
+        acc((C, 3 * C)), acc((1, 3 * C)),                # dwqkv, dbqkv
+        acc((C, C)), acc((1, C)),                        # dwproj, dbproj
+        acc((1, C)), acc((1, C)),                        # dln1 scale/bias
+        acc((C, Ch)), acc((1, Ch)),                      # dw1, db1
+        acc((Ch, C)), acc((1, C)),                       # dw2, db2
+        acc((1, C)), acc((1, C)),                        # dln2 scale/bias
+        acc((G, gs * L, L)),                             # drb (grouped)
+        acc((G, 1, GG)),                                 # dscale (broadcast)
+    ]
+    out_specs = [x_spec] + [acc_spec(s.shape) for s in out_shapes[1:]]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((RR * ws, Wb, 3 * C), x.dtype),    # qkv slab
+            pltpu.VMEM((nWin * G, gs * L, L), x.dtype),   # softmax probs
+            pltpu.VMEM((RR * ws, Wb, C), x.dtype),        # attn outputs
+            pltpu.VMEM((S_tok, C), f32),                  # proj
+            pltpu.VMEM((S_tok, C), f32),                  # h1
+            pltpu.VMEM((S_tok, Ch), x.dtype),             # m1
+            pltpu.VMEM((S_tok, Ch), x.dtype),             # gelu(m1)
+            pltpu.VMEM((S_tok, C), f32),                  # m2
+            pltpu.VMEM((RR * ws, Wb, 3 * C), f32),        # qkv grad slab
+        ],
+        interpret=interpret,
+        # grad accumulation across grid steps requires sequential revisiting
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=127 * 2**20,
+        ),
+    )(*operands)
+
+    (dx, dwqkv, dbqkv, dwproj, dbproj, dln1s, dln1b, dw1, db1, dw2, db2,
+     dln2s, dln2b, drb, dscale) = outs
+
+    cast = lambda v, ref: v.astype(ref.dtype)  # noqa: E731
+    grads = (
+        dx,
+        cast(dwqkv, wqkv), cast(dbqkv.reshape(bqkv.shape), bqkv),
+        cast(dwproj, wproj), cast(dbproj.reshape(bproj.shape), bproj),
+        cast(dln1s.reshape(ln1_scale.shape), ln1_scale),
+        cast(dln1b.reshape(ln1_bias.shape), ln1_bias),
+        cast(dw1, w1), cast(db1.reshape(b1.shape), b1),
+        cast(dw2, w2), cast(db2.reshape(b2.shape), b2),
+        cast(dln2s.reshape(ln2_scale.shape), ln2_scale),
+        cast(dln2b.reshape(ln2_bias.shape), ln2_bias),
+        cast(drb.reshape(num_heads, L, L), rel_bias),
+        cast(
+            dscale.reshape(num_heads, hd).sum(-1).reshape(logit_scale.shape),
+            logit_scale,
+        ),
+        jnp.zeros_like(dp),
+    )
+    if mask is not None:
+        grads = grads + (jnp.zeros_like(mask),)
+    return grads
+
+
+# Pallas bwd VMEM budget: f32 weight-grad accumulators + dt weights + slab
+# scratches must fit in ~127 MB; C=1024 (Swin-B stage 3) needs ~48 MB of dw
+# accumulators alone plus 24 MB weights, so it stays on the XLA-remat path.
+_PALLAS_BWD_MAX_DIM = 512
+
+
 def _fused_block_bwd(static, residuals, g):
-    window_size, num_heads, eps, _ = static
+    window_size, num_heads, eps, interpret = static
+    x = residuals[0]
+    C = x.shape[-1]
+    if C <= _PALLAS_BWD_MAX_DIM:
+        return _pallas_backward(
+            g, *residuals, window_size=window_size, num_heads=num_heads,
+            eps=eps, interpret=interpret,
+        )
     ref = functools.partial(
         _block_reference, window_size=window_size, num_heads=num_heads, eps=eps
     )

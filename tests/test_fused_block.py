@@ -56,10 +56,17 @@ def test_fused_block_multirow_shifted(rng):
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref), atol=2e-5, rtol=2e-5)
 
 
-@pytest.mark.parametrize("shift", [0, 2])
-def test_fused_block_grad_matches_xla(rng, shift):
-    """custom_vjp backward (XLA rematerialization) == XLA-path gradients."""
-    res, ws, dim, heads, B = 8, 4, 16, 2, 2
+@pytest.mark.parametrize(
+    "res,ws,shift,dim,heads,B",
+    [
+        (8, 4, 0, 16, 2, 2),    # multi-window slab
+        (8, 4, 2, 16, 2, 2),    # shifted (mask in the bwd recompute)
+        (4, 4, 0, 16, 4, 4),    # single window: multi-image slab + grouping
+        (12, 4, 2, 8, 2, 2),    # several window rows per image
+    ],
+)
+def test_fused_block_grad_matches_xla(rng, res, ws, shift, dim, heads, B):
+    """Pallas backward kernel (VMEM rematerialization) == XLA-path gradients."""
     x = jnp.asarray(rng.normal(size=(B, res * res, dim)), jnp.float32)
     ref_block = _make_block("xla", res=res, ws=ws, shift=shift, dim=dim, heads=heads)
     fused_block = _make_block("fused", res=res, ws=ws, shift=shift, dim=dim, heads=heads)

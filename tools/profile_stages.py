@@ -134,6 +134,57 @@ def profile_model(impl, batch, dtype):
     return t_full, t_bb
 
 
+def profile_glue(batch, dtype):
+    """Non-block backbone pieces: patch embed (+LN), merges, final LN."""
+    import flax.linen as nn
+
+    from cs_vit_tpu.models.swinv2 import PatchMerging, swinv2_base_256
+
+    cfg = swinv2_base_256()
+    rng = np.random.default_rng(0)
+
+    class Embed(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            y = nn.Conv(cfg.embed_dim, kernel_size=(4, 4), strides=(4, 4),
+                        padding="VALID", name="patch_embed")(x)
+            B = x.shape[0]
+            H = cfg.image_size // cfg.patch_size
+            y = y.reshape(B, H * H, cfg.embed_dim)
+            return nn.LayerNorm(epsilon=cfg.layer_norm_eps)(y)
+
+    x = jnp.asarray(rng.uniform(size=(batch, 256, 256, 3)), dtype)
+    m = Embed()
+    params = jax.tree.map(
+        lambda v: v.astype(dtype) if jnp.issubdtype(v.dtype, jnp.floating) else v,
+        m.init(jax.random.key(0), x)["params"],
+    )
+    sec = timeit(lambda xx: m.apply({"params": params}, xx), x)
+    print(f"  patch_embed+LN: {sec * 1e3:6.2f} ms")
+
+    res, dim = 64, cfg.embed_dim
+    for stage in range(3):
+        mm = PatchMerging(dim=dim, resolution=(res, res))
+        xx = jnp.asarray(
+            rng.normal(size=(batch, res * res, dim)), dtype
+        )
+        p = jax.tree.map(
+            lambda v: v.astype(dtype)
+            if jnp.issubdtype(v.dtype, jnp.floating) else v,
+            mm.init(jax.random.key(0), xx)["params"],
+        )
+        sec = timeit(lambda a: mm.apply({"params": p}, a), xx)
+        print(f"  merge{stage} ({res}->{res // 2}, C={dim}): {sec * 1e3:6.2f} ms")
+        res //= 2
+        dim *= 2
+
+    xf = jnp.asarray(rng.normal(size=(batch, 64, 1024)), dtype)
+    ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps)
+    p = ln.init(jax.random.key(0), xf)["params"]
+    sec = timeit(lambda a: ln.apply({"params": p}, a), xf)
+    print(f"  final LN: {sec * 1e3:6.2f} ms")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
@@ -141,7 +192,55 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--model", action="store_true",
                     help="also time full Poser predict vs backbone alone")
+    ap.add_argument("--glue", action="store_true",
+                    help="time patch embed, merges, final LN instead of blocks")
+    ap.add_argument("--train", action="store_true",
+                    help="time backbone fwd+bwd per impl instead of fwd-only")
     args = ap.parse_args()
+    if args.train:
+        dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+        from cs_vit_tpu.models.swinv2 import SwinV2, swinv2_base_256
+
+        cfg = swinv2_base_256()
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.uniform(size=(args.batch, 256, 256, 3)), dtype)
+        for impl in args.impls:
+            bb = SwinV2(cfg, attention_impl=impl)
+            params = jax.tree.map(
+                lambda v: v.astype(dtype)
+                if jnp.issubdtype(v.dtype, jnp.floating) else v,
+                bb.init(jax.random.key(0), imgs)["params"],
+            )
+
+            def fwd(x, p):
+                return jnp.sum(
+                    bb.apply({"params": p}, x).astype(jnp.float32) ** 2
+                )
+
+            def fwdbwd(x, p):
+                l, g = jax.value_and_grad(fwd, argnums=(0,))(x, p)
+                return l + sum(jnp.sum(gg.astype(jnp.float32) ** 2)
+                               for gg in jax.tree.leaves(g))
+
+            def fullgrad(x, p):
+                l, g = jax.value_and_grad(fwd, argnums=(0, 1))(x, p)
+                return l + sum(jnp.sum(gg.astype(jnp.float32) ** 2)
+                               for gg in jax.tree.leaves(g))
+
+            t_f = timeit(fwd, imgs, params)
+            t_fx = timeit(fwdbwd, imgs, params)
+            t_fb = timeit(fullgrad, imgs, params)
+            print(
+                f"  backbone[{impl}] b{args.batch}: fwd {t_f * 1e3:7.2f} ms | "
+                f"fwd+dx {t_fx * 1e3:7.2f} | fwd+dx+dw {t_fb * 1e3:7.2f} | "
+                f"train-side crops/s {args.batch / t_fb:7.1f}"
+            )
+        return
+    if args.glue:
+        dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+        print(f"glue ops, batch {args.batch}, {args.dtype}")
+        profile_glue(args.batch, dtype)
+        return
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
     cfg = swinv2_base_256()
