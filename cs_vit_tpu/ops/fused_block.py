@@ -549,8 +549,10 @@ def _pallas_forward(
     single = nH == 1 and nWj == 1
     if single:
         # single-window stages (SwinV2-256 stages 2/3): pack several whole
-        # images into one slab so the GEMMs see M ~= 1024 rows
-        cap = min(max(1, 1024 // L), max(1, 32 // G))
+        # images into one slab so the GEMMs see M ~= 2048 rows (1024 for f32
+        # inputs: the slab activations double and crowd the VMEM budget)
+        tok = 2048 if jnp.dtype(x.dtype).itemsize <= 2 else 1024
+        cap = min(max(1, tok // L), max(1, 32 // G))
         RR = _largest_divisor_leq(B, cap)
         grid = (B // RR, 1)
         x_spec = pl.BlockSpec(

@@ -196,10 +196,12 @@ def main():
                     help="time patch embed, merges, final LN instead of blocks")
     ap.add_argument("--train", action="store_true",
                     help="time backbone fwd+bwd per impl instead of fwd-only")
+    ap.add_argument("--stages", type=int, nargs="+", default=None,
+                    help="restrict per-stage profiling to these stage indices")
     args = ap.parse_args()
     if args.train:
         dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-        from cs_vit_tpu.models.swinv2 import SwinV2, swinv2_base_256
+        from cs_vit_tpu.models.swinv2 import SwinV2
 
         cfg = swinv2_base_256()
         rng = np.random.default_rng(0)
@@ -247,6 +249,8 @@ def main():
     print(f"Swin-B 256, batch {args.batch}, {args.dtype}")
     totals = {impl: 0.0 for impl in args.impls}
     for stage in range(cfg.num_layers):
+        if args.stages is not None and stage not in args.stages:
+            continue
         row = [f"stage{stage} ({cfg.depths[stage]} blocks)"]
         for impl in args.impls:
             sec, depth = profile_stage(cfg, stage, impl, args.batch, dtype)
