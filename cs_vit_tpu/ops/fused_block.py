@@ -33,6 +33,13 @@ branches.
 from __future__ import annotations
 
 import functools
+import os
+
+# Profiling ablation knob (tools/profile_stages.py): "" | "noexp" | "noattn".
+# "noexp" replaces the softmax exp with an affine map (same pass structure);
+# "noattn" short-circuits attention to v (GEMM/LN path only). Both break
+# numerics -- measurement only.
+_VARIANT = os.environ.get("FUSED_BLOCK_VARIANT", "")
 from typing import Optional
 
 import jax
@@ -127,7 +134,10 @@ def _block_kernel(
                 r * ws:(r + 1) * ws, j * ws:(j + 1) * ws, :
             ].reshape(L, 3 * C)
             o_groups = []
-            for g in range(G):
+            if _VARIANT == "noattn":
+                for g in range(G):
+                    o_groups.append(qkv_w[:, 2 * C + g * GG:2 * C + (g + 1) * GG])
+            for g in range(G if _VARIANT != "noattn" else 0):
                 q4 = qkv_w[:, g * GG:(g + 1) * GG].astype(f32)
                 k4 = qkv_w[:, C + g * GG:C + (g + 1) * GG].astype(f32)
                 v4 = qkv_w[:, 2 * C + g * GG:2 * C + (g + 1) * GG]
@@ -158,7 +168,10 @@ def _block_kernel(
                         + mask_ref[r * nWj + j][None].astype(f32)
                     ).reshape(gs * L, L)
                 mx = jnp.max(s, axis=-1, keepdims=True)
-                e = jnp.exp(s - mx)
+                if _VARIANT == "noexp":
+                    e = (s - mx) * 0.01 + 1.0
+                else:
+                    e = jnp.exp(s - mx)
                 den = jnp.sum(e, axis=-1, keepdims=True)   # [gs*L, 1]
                 o = jax.lax.dot_general(
                     e.astype(dt), v4, (((1,), (0,)), ((), ())),
