@@ -70,7 +70,7 @@ def main(cfg: FinetuneConfig, ckpt_root: str = "./checkpoints", h5_path: str | N
     mesh = fitting_mesh(cfg.batch_size)
     params = replicate_state(params, mesh)
     batch_stats = replicate_state(batch_stats, mesh)
-    eval_step = make_eval_step(model, phase="inference")
+    eval_step = make_eval_step(model, phase="inference", mesh=mesh)
 
     writer = EvalH5Writer(h5_path)
     print_("evaluation starts")

@@ -120,7 +120,9 @@ def main(cfg: FinetuneConfig, ckpt_root: str = "./checkpoints", log_every: int =
     import jax.numpy as jnp
 
     compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
-    train_step = make_train_step(model, tx, cfg.phase, compute_dtype=compute_dtype)
+    train_step = make_train_step(
+        model, tx, cfg.phase, compute_dtype=compute_dtype, mesh=mesh
+    )
     tb = TBLogger(os.path.join(exp_dir, "tb_logs") if is_main else None, is_main)
 
     rng = jax.random.key(42 + jax.process_index())

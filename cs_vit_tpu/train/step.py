@@ -14,12 +14,14 @@ TPU-native replacement for the reference's DDP loop
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
+from jax.sharding import Mesh, PartitionSpec as P
 
+from ..parallel.mesh import DATA_AXIS
 from .state import TrainState
 
 
@@ -29,6 +31,7 @@ def make_train_step(
     phase: str,
     donate: bool = True,
     compute_dtype=None,
+    mesh: Optional[Mesh] = None,
 ) -> Callable[[TrainState, Dict, jnp.ndarray], Tuple[TrainState, Dict]]:
     """Build the jitted train step for `phase` ('spatial' | 'temporal').
 
@@ -36,7 +39,18 @@ def make_train_step(
     native) while master params, optimizer state, the loss and BatchNorm
     statistics stay float32 (mixed precision; bf16's 8-bit exponent needs no
     loss scaling).
+
+    ``mesh`` (data size > 1) switches to an explicit SPMD step via
+    ``jax.shard_map``: each device runs the local fwd/bwd on its batch shard
+    and gradients/loss/BatchNorm stats are ``pmean``-ed over the ``data``
+    axis. This is required for the fused Pallas backbone kernel — under plain
+    GSPMD a ``pallas_call`` has no partitioning rule, so XLA silently
+    all-gathers the batch and replicates the whole backbone computation on
+    every chip. shard_map hands the kernel per-device local shapes instead
+    (and matches the reference's DDP gradient semantics,
+    ref `scripts/finetune.py:133-135`).
     """
+    data_parallel = mesh is not None and mesh.shape.get(DATA_AXIS, 1) > 1
 
     def loss_fn(params, batch_stats, batch, rng):
         d_rng, l_rng = jax.random.split(rng)
@@ -63,9 +77,20 @@ def make_train_step(
         return out["loss"].astype(jnp.float32), (out, stats)
 
     def train_step(state: TrainState, batch: Dict, rng: jnp.ndarray):
+        if data_parallel:
+            # decorrelate stochastic-depth / latent sampling across shards
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
         (loss, (out, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, batch, rng)
+
+        if data_parallel:
+            loss = jax.lax.pmean(loss, DATA_AXIS)
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
+            out["logs"]["scalar"] = jax.lax.pmean(
+                out["logs"]["scalar"], DATA_AXIS
+            )
 
         finite = jnp.isfinite(loss)
 
@@ -98,13 +123,33 @@ def make_train_step(
         }
         return new_state, metrics
 
+    if data_parallel:
+        metrics_spec = {
+            "loss": P(), "grad_norm": P(), "skipped": P(),
+            "scalar_logs": P(),
+            "joint_cam_pred": P(DATA_AXIS),
+        }
+        sharded = jax.shard_map(
+            train_step,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P()),
+            out_specs=(P(), metrics_spec),
+            check_vma=False,  # pallas_call + custom_vjp defeat VMA tracking
+        )
+        return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, phase: str = "inference") -> Callable:
-    """Jitted inference: batch -> predictions dict (ref `scripts/eval.py:259-266`)."""
+def make_eval_step(
+    model, phase: str = "inference", mesh: Optional[Mesh] = None
+) -> Callable:
+    """Jitted inference: batch -> predictions dict (ref `scripts/eval.py:259-266`).
 
-    @jax.jit
+    With a ``mesh`` (data size > 1) the step runs under ``jax.shard_map`` so
+    the fused Pallas backbone sees per-device batch shards (see
+    ``make_train_step``)."""
+
     def eval_step(params, batch_stats, batch):
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
@@ -117,4 +162,12 @@ def make_eval_step(model, phase: str = "inference") -> Callable:
             method=model.predict,
         )
 
-    return eval_step
+    if mesh is not None and mesh.shape.get(DATA_AXIS, 1) > 1:
+        eval_step = jax.shard_map(
+            eval_step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )
+    return jax.jit(eval_step)

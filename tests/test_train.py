@@ -116,6 +116,49 @@ def test_train_step_data_parallel_8dev(setup_train):
     assert abs(float(dp_metrics["loss"]) - float(ref_metrics["loss"])) < 1.0
 
 
+def test_train_step_shard_map_8dev(setup_train):
+    """Explicit-SPMD (shard_map) step: per-device local batches + pmean'd
+    grads must match the single-device step. This is the path multi-chip
+    training takes (the fused Pallas kernel has no GSPMD partitioning rule,
+    so the plain-jit path would replicate it)."""
+    model, tx, state, batch = setup_train
+    ref_step = make_train_step(model, tx, "spatial", donate=False)
+    ref_state, ref_metrics = ref_step(state, batch, jax.random.key(7))
+
+    # 2-device mesh, each shard = one full copy of the reference batch, so
+    # per-shard BatchNorm statistics (torch-DDP local-BN semantics, which
+    # shard_map reproduces) equal the single-device ones
+    mesh = make_mesh(n_data=2, devices=jax.devices()[:2])
+    sm_step = make_train_step(model, tx, "spatial", donate=False, mesh=mesh)
+    sharded_batch = shard_batch(
+        {k: np.concatenate([np.asarray(v)] * 2, axis=0) for k, v in batch.items()},
+        mesh,
+    )
+    dp_state = replicate_state(state, mesh)
+    dp_state, dp_metrics = sm_step(dp_state, sharded_batch, jax.random.key(7))
+    assert np.isfinite(float(dp_metrics["loss"]))
+    assert dp_metrics["joint_cam_pred"].shape[0] == 8
+    # identical per-shard data -> same loss up to per-shard droppath rng
+    assert abs(float(dp_metrics["loss"]) - float(ref_metrics["loss"])) < 1.0
+    # params remain replicated and in sync across shards after the update
+    leaf = jax.tree.leaves(dp_state.params)[0]
+    assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_eval_step_shard_map_8dev(setup_train):
+    from cs_vit_tpu.train import make_eval_step
+
+    model, tx, state, batch = setup_train
+    mesh = make_mesh(n_data=8)
+    ev = make_eval_step(model, mesh=mesh)
+    big = shard_batch(
+        {k: np.repeat(np.asarray(v), 2, axis=0) for k, v in batch.items()}, mesh
+    )
+    pred = ev(state.params, state.batch_stats, big)
+    assert pred["joint_cam"].shape[0] == 8
+    assert np.isfinite(np.asarray(pred["joint_cam"])).all()
+
+
 def test_checkpoint_roundtrip(tmp_path, setup_train):
     model, tx, state, batch = setup_train
     payload = {
