@@ -114,6 +114,25 @@ def _block_kernel(
 
     xs = x_ref[:].reshape(S_tok, C)
 
+    for _rep in range(2 if _VARIANT == "x2" else 1):
+        xs = _block_body(
+            xs, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, ln1s_ref, ln1b_ref,
+            w1_ref, b1_ref, w2_ref, b2_ref, ln2s_ref, ln2b_ref, relb_ref,
+            scale_ref, dp_ref, mask_ref, attn_ref, layernorm,
+            ws=ws, Wb=Wb, RR=RR, nWj=nWj, gs=gs, heads=heads, single=single,
+            b=b, S_tok=S_tok, C=C, hd=hd, G=G, GG=GG, L=L, dt=dt,
+        )
+    out_ref[:] = xs.astype(dt).reshape(x_ref.shape)
+
+
+def _block_body(
+    xs, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, ln1s_ref, ln1b_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, ln2s_ref, ln2b_ref, relb_ref,
+    scale_ref, dp_ref, mask_ref, attn_ref, layernorm,
+    *, ws, Wb, RR, nWj, gs, heads, single, b, S_tok, C, hd, G, GG, L, dt,
+):
+    f32 = jnp.float32
+
     # slab-wide qkv GEMM: all windows of the slab in one [S_tok, 3C] dot
     qkv = (
         jax.lax.dot_general(
@@ -220,8 +239,7 @@ def _block_kernel(
         preferred_element_type=f32,
     ) + b2_ref[:].astype(f32)
 
-    y = h1 + dp1 * layernorm(m, ln2s_ref, ln2b_ref)
-    out_ref[:] = y.astype(dt).reshape(x_ref.shape)
+    return (h1 + dp1 * layernorm(m, ln2s_ref, ln2b_ref)).astype(dt)
 
 
 def _gelu_grad(x):
