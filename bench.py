@@ -202,7 +202,7 @@ def bench_train(model, variables, batch, iters, phase="spatial", compute_dtype=N
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backbone", default="swinv2-base-256")
-    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     ap.add_argument("--temporal", action="store_true")

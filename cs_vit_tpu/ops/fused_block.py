@@ -913,8 +913,10 @@ def _pallas_backward(
 
 
 # Pallas bwd VMEM budget: f32 weight-grad accumulators + dt weights + slab
-# scratches must fit in ~127 MB; C=1024 (Swin-B stage 3) needs ~48 MB of dw
-# accumulators alone plus 24 MB weights, so it stays on the XLA-remat path.
+# scratches must fit in ~127 MB. C=1024 (Swin-B stage 3) measured 133.7 MB
+# scoped VMEM inside the full train program (48 MB dw accumulators + 24 MB
+# bf16 weights + slab scratches + pipeline buffers) and OOMs the compiler,
+# so it stays on the XLA-remat path (2 blocks, ~2 ms of the step).
 _PALLAS_BWD_MAX_DIM = 512
 
 
