@@ -44,6 +44,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -66,6 +67,38 @@ def _erf(x):
 
 def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _interleave_idx(C: int, hd: int, gs: int):
+    """Lane permutation putting heads in interleaved layout.
+
+    Within each group's ``GG = gs*hd`` lane segment, new lane ``d*gs + h``
+    holds old lane ``h*hd + d`` — i.e. lane ``i`` belongs to head
+    ``i % gs``.  Per-head segment sums then become ``log2(hd)`` full-width
+    lane-roll+add steps (a stride-``gs`` walk stays inside one residue
+    class = one head), with the result already broadcast across the head's
+    lanes — no masked cross-lane reductions (the round-2 ablations in
+    BASELINE.md attribute ~0.35-0.45 ms/blk to those).
+    """
+    assert hd & (hd - 1) == 0, "roll-based segment sums need power-of-2 hd"
+    GG = gs * hd
+    idx = np.arange(C).reshape(C // GG, gs, hd)
+    return np.ascontiguousarray(idx.transpose(0, 2, 1)).reshape(C)
+
+
+def _seg_rsqrt_interleaved(s2, gs: int, hd: int):
+    """rsqrt of per-head lane-segment sums, interleaved layout.
+
+    ``s2`` is [rows, GG] with lane ``i`` of head ``i % gs``; returns the
+    per-(row, head) ``rsqrt(sum + eps)`` broadcast to every lane of the
+    head.  ``hd`` must be a power of two (true for every SwinV2 size).
+    """
+    t = s2
+    sh = gs
+    while sh < gs * hd:
+        t = t + pltpu.roll(t, sh, 1)
+        sh *= 2
+    return jax.lax.rsqrt(t + 1e-24)
 
 
 def _block_kernel(
@@ -143,9 +176,11 @@ def _block_body(
     ).astype(dt)
     qkv3 = qkv.reshape(RR * ws, Wb, 3 * C)
 
-    cidx = jax.lax.broadcasted_iota(jnp.int32, (L, GG), 1) // hd
+    # interleaved head-lane layout: lane i belongs to head i % gs (the
+    # wrapper permutes qkv columns / proj rows to match)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (L, GG), 1) % gs
     ridx = jax.lax.broadcasted_iota(jnp.int32, (gs * L, GG), 0) // L
-    cidx2 = jax.lax.broadcasted_iota(jnp.int32, (gs * L, GG), 1) // hd
+    cidx2 = jax.lax.broadcasted_iota(jnp.int32, (gs * L, GG), 1) % gs
 
     for r in range(RR):
         for j in range(nWj):
@@ -160,19 +195,19 @@ def _block_body(
                 q4 = qkv_w[:, g * GG:(g + 1) * GG].astype(f32)
                 k4 = qkv_w[:, C + g * GG:C + (g + 1) * GG].astype(f32)
                 v4 = qkv_w[:, 2 * C + g * GG:2 * C + (g + 1) * GG]
-                # per-head cosine normalization via masked row reductions
-                sq, sk = q4 * q4, k4 * k4
-                rq = jnp.zeros((L, GG), f32)
-                rk = jnp.zeros((L, GG), f32)
-                for h in range(gs):
-                    hm = cidx == h
-                    nq = jnp.sum(jnp.where(hm, sq, 0.0), -1, keepdims=True)
-                    nk = jnp.sum(jnp.where(hm, sk, 0.0), -1, keepdims=True)
-                    rq = rq + jnp.where(hm, jax.lax.rsqrt(nq + 1e-24), 0.0)
-                    rk = rk + jnp.where(hm, jax.lax.rsqrt(nk + 1e-24), 0.0)
-                # logit scale folded into q (scale_h * (qn @ kn^T) == (qn*scale_h) @ kn^T)
-                qn = (q4 * rq * scale_ref[g].astype(f32)).astype(dt)
-                kn = (k4 * rk).astype(dt)
+                if _VARIANT == "nonorm":
+                    # measurement-only: skip the cosine normalization
+                    qn = (q4 * scale_ref[g].astype(f32) * 0.01).astype(dt)
+                    kn = (k4 * 0.01).astype(dt)
+                else:
+                    # per-head cosine normalization via roll-based segment
+                    # sums over the interleaved lane layout (already
+                    # broadcast per lane — no masked reductions)
+                    rq = _seg_rsqrt_interleaved(q4 * q4, gs, hd)  # [L, GG]
+                    rk = _seg_rsqrt_interleaved(k4 * k4, gs, hd)
+                    # logit scale folded into q (scale_h * (qn @ kn^T) == (qn*scale_h) @ kn^T)
+                    qn = (q4 * rq * scale_ref[g].astype(f32)).astype(dt)
+                    kn = (k4 * rk).astype(dt)
                 # heads stacked along rows, block-diagonal over column segments
                 qbd = jnp.broadcast_to(qn[None], (gs, L, GG)).reshape(gs * L, GG)
                 qbd = jnp.where(ridx == cidx2, qbd, jnp.zeros((), dt))
@@ -180,18 +215,31 @@ def _block_body(
                     qbd, kn, (((1,), (1,)), ((), ())),
                     preferred_element_type=f32,
                 )                                          # [gs*L, L]
+                # Static-shift softmax: relb_ref arrives pre-shifted by the
+                # per-head logit bound tau_h = scale_h + 16 (cosine scores
+                # satisfy s <= scale_h, the CPB bias is 16*sigmoid < 16, and
+                # the shift mask only lowers), so every exponent is <= 0 and
+                # the row-max reduce pass is dropped — softmax is shift-
+                # invariant, the result is bit-comparable to max-subtraction
+                # up to one rounding. A row can only lose mass to underflow
+                # if ALL its logits sit > 88 below the bound (needs a learned
+                # scale near the 100 clamp AND every cosine far from 1);
+                # the +1e-30 keeps that case finite (output ~0, not NaN).
                 s = s + relb_ref[g].astype(f32)
                 if mask_ref is not None:
                     s = (
                         s.reshape(gs, L, L)
                         + mask_ref[r * nWj + j][None].astype(f32)
                     ).reshape(gs * L, L)
-                mx = jnp.max(s, axis=-1, keepdims=True)
                 if _VARIANT == "noexp":
-                    e = (s - mx) * 0.01 + 1.0
+                    e = s * 0.01 + 1.0
+                elif _VARIANT == "nosm":
+                    # measurement-only: no softmax at all (raw scores -> o)
+                    e = s * 0.01
                 else:
-                    e = jnp.exp(s - mx)
-                den = jnp.sum(e, axis=-1, keepdims=True)   # [gs*L, 1]
+                    e = jnp.exp(s)
+                if _VARIANT != "nosm":
+                    den = jnp.sum(e, axis=-1, keepdims=True) + 1e-30  # [gs*L, 1]
                 o = jax.lax.dot_general(
                     e.astype(dt), v4, (((1,), (0,)), ((), ())),
                     preferred_element_type=f32,
@@ -200,7 +248,9 @@ def _block_body(
                 # to the [L, hd] output (saves a full [L, L] divide per head)
                 og = jnp.zeros((L, GG), f32)
                 for h in range(gs):
-                    blk = o[h * L:(h + 1) * L] / den[h * L:(h + 1) * L]
+                    blk = o[h * L:(h + 1) * L]
+                    if _VARIANT != "nosm":
+                        blk = blk / den[h * L:(h + 1) * L]
                     og = og + jnp.where(cidx == h, blk, 0.0)
                 o_groups.append(og.astype(dt))
             o_all = o_groups[0] if G == 1 else jnp.concatenate(o_groups, -1)
@@ -298,9 +348,10 @@ def _bwd_kernel(
         r = jax.lax.rsqrt(var + eps)
         return (xf - mean) * r, r
 
-    cidx = jax.lax.broadcasted_iota(jnp.int32, (L, GG), 1) // hd
+    # interleaved head-lane layout (see _interleave_idx): lane i <-> head i%gs
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (L, GG), 1) % gs
     ridx = jax.lax.broadcasted_iota(jnp.int32, (gs * L, GG), 0) // L
-    cidx2 = jax.lax.broadcasted_iota(jnp.int32, (gs * L, GG), 1) // hd
+    cidx2 = jax.lax.broadcasted_iota(jnp.int32, (gs * L, GG), 1) % gs
     bd = ridx == cidx2
 
     # ---- forward recompute (slab in VMEM), saving what the bwd needs ----
@@ -323,15 +374,8 @@ def _bwd_kernel(
         q4 = qkv_w[:, g * GG:(g + 1) * GG].astype(f32)
         k4 = qkv_w[:, C + g * GG:C + (g + 1) * GG].astype(f32)
         v4 = qkv_w[:, 2 * C + g * GG:2 * C + (g + 1) * GG]
-        sq, sk = q4 * q4, k4 * k4
-        rq = jnp.zeros((L, GG), f32)
-        rk = jnp.zeros((L, GG), f32)
-        for h in range(gs):
-            hm = cidx == h
-            nq = jnp.sum(jnp.where(hm, sq, 0.0), -1, keepdims=True)
-            nk = jnp.sum(jnp.where(hm, sk, 0.0), -1, keepdims=True)
-            rq = rq + jnp.where(hm, jax.lax.rsqrt(nq + 1e-24), 0.0)
-            rk = rk + jnp.where(hm, jax.lax.rsqrt(nk + 1e-24), 0.0)
+        rq = _seg_rsqrt_interleaved(q4 * q4, gs, hd)   # [L, GG]
+        rk = _seg_rsqrt_interleaved(k4 * k4, gs, hd)
         lam = scale_ref[g].astype(f32)             # [1, GG]
         qh = q4 * rq * lam                         # q-hat (scale folded) f32
         kn = k4 * rk
@@ -356,8 +400,10 @@ def _bwd_kernel(
                         s.reshape(gs, L, L)
                         + mask_ref[r * nWj + j][None].astype(f32)
                     ).reshape(gs * L, L)
-                e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
-                den = jnp.sum(e, axis=-1, keepdims=True)
+                # static-shift softmax (see the forward kernel): relb is
+                # pre-shifted by tau_h = scale_h + 16, exponents are <= 0
+                e = jnp.exp(s)
+                den = jnp.sum(e, axis=-1, keepdims=True) + 1e-30
                 p = e / den
                 wi = (r * nWj + j) * G + g
                 p_s[wi] = p.astype(dt)
@@ -528,16 +574,17 @@ def _bwd_kernel(
                 dscale_ref[g] += jnp.sum(
                     qhb * qh / lam, axis=0, keepdims=True
                 )
-                # normalize backward: d/dq (q*rq) applied to (qhb*lam)
+                # normalize backward: d/dq (q*rq) applied to (qhb*lam);
+                # the per-head <g, q> inner products come from the same
+                # roll-based segment sum (already lane-broadcast, no masks)
                 qnb = qhb * lam
-                qb = jnp.zeros((L, GG), f32)
-                kb = jnp.zeros((L, GG), f32)
-                for h in range(gs):
-                    hm = cidx == h
-                    dq = jnp.sum(jnp.where(hm, qnb * q4, 0.0), -1, keepdims=True)
-                    dk = jnp.sum(jnp.where(hm, knb * k4, 0.0), -1, keepdims=True)
-                    qb = qb + jnp.where(hm, rq * (qnb - q4 * rq * rq * dq), 0.0)
-                    kb = kb + jnp.where(hm, rk * (knb - k4 * rk * rk * dk), 0.0)
+                sh, dq, dk = gs, qnb * q4, knb * k4
+                while sh < GG:
+                    dq = dq + pltpu.roll(dq, sh, 1)
+                    dk = dk + pltpu.roll(dk, sh, 1)
+                    sh *= 2
+                qb = rq * (qnb - q4 * rq * rq * dq)
+                kb = rk * (knb - k4 * rk * rk * dk)
                 qbs.append(qb)
                 kbs.append(kb)
                 vbs.append(vb)
@@ -606,11 +653,24 @@ def _pallas_forward(
         )
 
     # group layouts: heads of a group stacked along rows (free reshape), and
-    # the per-head logit scale broadcast over that head's hd-column segment
-    relb_g = rel_bias.reshape(G, gs * L, L)
-    scale_row = jnp.repeat(
-        logit_scale.reshape(num_heads).astype(jnp.float32), hd
+    # the per-head logit scale broadcast over that head's interleaved lanes.
+    # pre-shift the CPB bias by the static per-head logit bound so the
+    # kernel's softmax needs no row-max pass (exponents provably <= 0):
+    # cosine scores satisfy s <= scale_h and the bias itself is < 16
+    tau = logit_scale.reshape(num_heads, 1, 1).astype(jnp.float32) + 16.0
+    relb_g = (rel_bias.astype(jnp.float32) - tau).reshape(G, gs * L, L)
+    # interleaved lane i <-> head i % gs: scale pattern tiles the group's
+    # gs per-head scales hd times
+    scale_row = jnp.tile(
+        logit_scale.reshape(G, 1, gs).astype(jnp.float32), (1, 1, hd)
     ).reshape(G, 1, GG)
+
+    # permute qkv columns / proj rows into the interleaved head-lane layout
+    ivi = _interleave_idx(C, hd, gs)
+    ivi3 = jnp.concatenate([jnp.asarray(ivi + s * C) for s in range(3)])
+    wqkv = wqkv[:, ivi3]
+    bqkv = bqkv.reshape(1, 3 * C)[:, ivi3].reshape(bqkv.shape)
+    wproj = wproj[ivi, :]
 
     in_specs = [
         x_spec,
@@ -804,10 +864,24 @@ def _pallas_backward(
             arr.shape, lambda b, i, _n=nd: (0,) * _n, memory_space=pltpu.VMEM
         )
 
-    relb_g = rel_bias.reshape(G, gs * L, L)
-    scale_row = jnp.repeat(
-        logit_scale.reshape(num_heads).astype(jnp.float32), hd
+    # pre-shift the CPB bias by the static per-head logit bound so the
+    # kernel's softmax needs no row-max pass (exponents provably <= 0):
+    # cosine scores satisfy s <= scale_h and the bias itself is < 16
+    tau = logit_scale.reshape(num_heads, 1, 1).astype(jnp.float32) + 16.0
+    relb_g = (rel_bias.astype(jnp.float32) - tau).reshape(G, gs * L, L)
+    scale_row = jnp.tile(
+        logit_scale.reshape(G, 1, gs).astype(jnp.float32), (1, 1, hd)
     ).reshape(G, 1, GG)
+
+    # interleaved head-lane layout (see _interleave_idx); weight grads come
+    # back in the permuted layout and are inverse-permuted below
+    ivi = _interleave_idx(C, hd, gs)
+    ivi3 = np.concatenate([ivi + s * C for s in range(3)])
+    inv = np.argsort(ivi)
+    inv3 = np.argsort(ivi3)
+    wqkv_p = wqkv[:, jnp.asarray(ivi3)]
+    bqkv_p = bqkv.reshape(1, 3 * C)[:, jnp.asarray(ivi3)].reshape(bqkv.shape)
+    wproj_p = wproj[jnp.asarray(ivi), :]
 
     in_specs = [
         x_spec, x_spec,
@@ -818,7 +892,7 @@ def _pallas_backward(
         pl.BlockSpec((B, 2), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
     ]
     operands = [
-        g, x, wqkv, bqkv, wproj, bproj, ln1_scale, ln1_bias,
+        g, x, wqkv_p, bqkv_p, wproj_p, bproj, ln1_scale, ln1_bias,
         w1, b1, w2, b2, ln2_scale, ln2_bias,
         relb_g, scale_row, dp.astype(jnp.float32),
     ]
@@ -890,6 +964,10 @@ def _pallas_backward(
      dln2s, dln2b, drb, dscale) = outs
 
     cast = lambda v, ref: v.astype(ref.dtype)  # noqa: E731
+    # inverse-permute grads computed in the interleaved lane layout
+    dwqkv = dwqkv[:, jnp.asarray(inv3)]
+    dbqkv = dbqkv[:, jnp.asarray(inv3)]
+    dwproj = dwproj[jnp.asarray(inv), :]
     grads = (
         dx,
         cast(dwqkv, wqkv), cast(dbqkv.reshape(bqkv.shape), bqkv),
@@ -902,7 +980,9 @@ def _pallas_backward(
         cast(dln2b.reshape(ln2_bias.shape), ln2_bias),
         cast(drb.reshape(num_heads, L, L), rel_bias),
         cast(
-            dscale.reshape(num_heads, hd).sum(-1).reshape(logit_scale.shape),
+            # interleaved lanes: dscale[g, 0, d*gs + h] belongs to head
+            # g*gs + h -> reshape (G, hd, gs), reduce the hd axis
+            dscale.reshape(G, hd, gs).sum(1).reshape(logit_scale.shape),
             logit_scale,
         ),
         jnp.zeros_like(dp),

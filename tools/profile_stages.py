@@ -134,6 +134,57 @@ def profile_model(impl, batch, dtype):
     return t_full, t_bb
 
 
+def profile_decode(impl, batch, dtype):
+    """Split the non-backbone predict cost: decode stack vs MANO FK."""
+    from cs_vit_tpu.cli.common import build_model, init_variables
+    from cs_vit_tpu.config import FinetuneConfig
+
+    cfg = FinetuneConfig(
+        exp="prof", backbone="swinv2-base-256", img_size=256,
+        phase="inference", data=["dexycb"], batch_size=batch,
+        attention_impl=impl,
+    )
+    model = build_model(cfg)
+    variables = init_variables(model, cfg, seq_len=1)
+    cast = lambda t: jax.tree.map(  # noqa: E731
+        lambda v: v.astype(dtype)
+        if jnp.issubdtype(v.dtype, jnp.floating) else v, t,
+    )
+    params = cast(variables["params"])
+    stats = variables.get("batch_stats", {})
+
+    rng = np.random.default_rng(0)
+    B, S = batch, 256
+    imgs = jnp.asarray(rng.uniform(size=(B, 1, S, S, 3)), dtype)
+    ts = jnp.zeros((B, 1), jnp.float32)
+    persp = jnp.asarray(rng.normal(size=(B, 1, 16, 16, 2)) * 0.1, jnp.float32)
+
+    def decode(p, prm, st, ts_, pv):
+        out = model.apply(
+            {"params": prm, "batch_stats": st},
+            p, ts_, pv, "inference", method=model.decode_pose,
+        )
+        return out[0]
+
+    t_dec = timeit(decode, imgs, params, stats, ts, persp)
+
+    pose_aa = jnp.asarray(rng.normal(size=(B, 1, 16, 3)) * 0.1, jnp.float32)
+    shape = jnp.asarray(rng.normal(size=(B, 1, 10)) * 0.1, jnp.float32)
+    root = jnp.asarray(rng.normal(size=(B, 1, 3)), jnp.float32)
+
+    def fk(pa, prm, st, sh, rt):
+        return model.apply(
+            {"params": prm, "batch_stats": st},
+            pa, sh, rt, method=model.pose_fk,
+        )[0]
+
+    t_fk = timeit(fk, pose_aa, params, stats, shape, root)
+    print(
+        f"  decode_pose (backbone+spatial+heads): {t_dec * 1e3:7.2f} ms | "
+        f"pose_fk (MANO): {t_fk * 1e3:6.2f} ms"
+    )
+
+
 def profile_glue(batch, dtype):
     """Non-block backbone pieces: patch embed (+LN), merges, final LN."""
     import flax.linen as nn
@@ -194,6 +245,8 @@ def main():
                     help="also time full Poser predict vs backbone alone")
     ap.add_argument("--glue", action="store_true",
                     help="time patch embed, merges, final LN instead of blocks")
+    ap.add_argument("--decode", action="store_true",
+                    help="split non-backbone predict cost (decode vs MANO FK)")
     ap.add_argument("--train", action="store_true",
                     help="time backbone fwd+bwd per impl instead of fwd-only")
     ap.add_argument("--stages", type=int, nargs="+", default=None,
@@ -242,6 +295,12 @@ def main():
         dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
         print(f"glue ops, batch {args.batch}, {args.dtype}")
         profile_glue(args.batch, dtype)
+        return
+    if args.decode:
+        dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+        print(f"decode split, batch {args.batch}, {args.dtype}")
+        for impl in args.impls:
+            profile_decode(impl, args.batch, dtype)
         return
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
