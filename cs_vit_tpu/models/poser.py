@@ -356,12 +356,19 @@ class Poser(nn.Module):
         n = 1
 
         x = imgs.reshape((B * T,) + imgs.shape[2:])
-        x = (x - self._img_mean) / self._img_std
+        # Normalize with f32 statistics but KEEP the caller's activation
+        # dtype: the f32 mean/std constants would otherwise promote bf16
+        # images to f32 and drag the entire backbone (incl. the fused Pallas
+        # blocks, which compute in their input dtype) off the bf16 MXU path
+        # — measured +27 ms at batch 256 on v5e.
+        x = (
+            (x.astype(jnp.float32) - self._img_mean) / self._img_std
+        ).astype(imgs.dtype)
         patches = self.backbone(x, deterministic=not spatial_train)  # [BT,64,D]
 
         persp_bias = self.perspective_mlp(
             persp_vec.reshape(B * T, -1), train=spatial_train
-        )  # [BT,D]
+        ).astype(patches.dtype)  # [BT,D] (f32 persp inputs must not promote)
 
         query_patches = jnp.broadcast_to(
             self.query_token[None], (B * T,) + self.query_token.shape
