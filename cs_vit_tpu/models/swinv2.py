@@ -436,14 +436,24 @@ class PatchMerging(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         H, W = self.resolution
         B, _, C = x.shape
-        x = x.reshape(B, H, W, C)
-        x0 = x[:, 0::2, 0::2]
-        x1 = x[:, 1::2, 0::2]
-        x2 = x[:, 0::2, 1::2]
-        x3 = x[:, 1::2, 1::2]
-        x = jnp.concatenate([x0, x1, x2, x3], axis=-1).reshape(B, (H // 2) * (W // 2), 4 * C)
-        x = nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
-        return nn.LayerNorm(epsilon=self.eps, name="norm")(x)
+        # Same math as the reference's strided-slice + concat + Dense
+        # (gather 2x2 neighborhoods into 4C, then project to 2C), expressed
+        # as a 2x2 stride-2 conv: the four strided slices lower to sublane
+        # relayout passes on TPU (measured 3.66 ms for the stage-0 merge at
+        # batch 256 vs ~0.4 ms of conv FLOPs).  The param keeps the
+        # reference's ``reduction/kernel`` [4C, 2C] tree for checkpoint
+        # compatibility; concat segment s = 2*dw + dh maps to kernel tap
+        # [dh, dw].
+        w = DenseParams(4 * C, 2 * self.dim, use_bias=False, name="reduction").kernel
+        kernel = w.reshape(2, 2, C, 2 * self.dim).transpose(1, 0, 2, 3)
+        y = jax.lax.conv_general_dilated(
+            x.reshape(B, H, W, C),
+            kernel.astype(x.dtype),
+            window_strides=(2, 2),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).reshape(B, (H // 2) * (W // 2), 2 * self.dim)
+        return nn.LayerNorm(epsilon=self.eps, name="norm")(y)
 
 
 class SwinV2(nn.Module):

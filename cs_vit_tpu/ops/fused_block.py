@@ -181,6 +181,7 @@ def _block_body(
     cidx = jax.lax.broadcasted_iota(jnp.int32, (L, GG), 1) % gs
     ridx = jax.lax.broadcasted_iota(jnp.int32, (gs * L, GG), 0) // L
     cidx2 = jax.lax.broadcasted_iota(jnp.int32, (gs * L, GG), 1) % gs
+    ones_dt = jnp.ones((L, GG), dt)  # MXU softmax-denominator operand
 
     for r in range(RR):
         for j in range(nWj):
@@ -232,16 +233,26 @@ def _block_body(
                         + mask_ref[r * nWj + j][None].astype(f32)
                     ).reshape(gs * L, L)
                 if _VARIANT == "noexp":
-                    e = s * 0.01 + 1.0
+                    e = (s * 0.01 + 1.0).astype(dt)
                 elif _VARIANT == "nosm":
                     # measurement-only: no softmax at all (raw scores -> o)
-                    e = s * 0.01
+                    e = (s * 0.01).astype(dt)
                 else:
-                    e = jnp.exp(s)
+                    # exp straight to the dot dtype: the o-dot consumed a dt
+                    # cast of e anyway, so the rounding is unchanged — this
+                    # just skips materializing the f32 copy
+                    e = jnp.exp(s).astype(dt)
                 if _VARIANT != "nosm":
-                    den = jnp.sum(e, axis=-1, keepdims=True) + 1e-30  # [gs*L, 1]
+                    # softmax denominator on the MXU: e @ ones gives every
+                    # row's sum pre-broadcast across the GG lanes (f32
+                    # accumulation), replacing a VPU cross-lane reduce over
+                    # the [gs*L, L] scores
+                    den = jax.lax.dot_general(
+                        e, ones_dt, (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    ) + 1e-30                              # [gs*L, GG]
                 o = jax.lax.dot_general(
-                    e.astype(dt), v4, (((1,), (0,)), ((), ())),
+                    e, v4, (((1,), (0,)), ((), ())),
                     preferred_element_type=f32,
                 )                                          # [gs*L, GG]
                 # block-diagonal extraction with the softmax division deferred
@@ -353,6 +364,7 @@ def _bwd_kernel(
     ridx = jax.lax.broadcasted_iota(jnp.int32, (gs * L, GG), 0) // L
     cidx2 = jax.lax.broadcasted_iota(jnp.int32, (gs * L, GG), 1) % gs
     bd = ridx == cidx2
+    ones_dt = jnp.ones((L, GG), dt)  # MXU softmax-denominator operand
 
     # ---- forward recompute (slab in VMEM), saving what the bwd needs ----
     xs = x_ref[:].reshape(S_tok, C)
@@ -401,9 +413,15 @@ def _bwd_kernel(
                         + mask_ref[r * nWj + j][None].astype(f32)
                     ).reshape(gs * L, L)
                 # static-shift softmax (see the forward kernel): relb is
-                # pre-shifted by tau_h = scale_h + 16, exponents are <= 0
+                # pre-shifted by tau_h = scale_h + 16, exponents are <= 0.
+                # Denominator via MXU ones-dot (matches the forward's
+                # rounding: den sums the dt-rounded e), lane 0 sliced out
+                # for the row broadcast.
                 e = jnp.exp(s)
-                den = jnp.sum(e, axis=-1, keepdims=True) + 1e-30
+                den = jax.lax.dot_general(
+                    e.astype(dt), ones_dt, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )[:, :1] + 1e-30
                 p = e / den
                 wi = (r * nWj + j) * G + g
                 p_s[wi] = p.astype(dt)
@@ -548,7 +566,14 @@ def _bwd_kernel(
                     preferred_element_type=f32,
                 )                                      # [gs*L, L]
                 pf = p.astype(f32)
-                sb = pf * (pb - jnp.sum(pb * pf, axis=-1, keepdims=True))
+                # rowwise <pb, p> via MXU ones-dot instead of a VPU
+                # cross-lane reduce (dt product rounding is within the
+                # bf16 noise the surrounding dots already introduce)
+                rs = jax.lax.dot_general(
+                    (pb * pf).astype(dt), ones_dt, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )[:, :1]
+                sb = pf * (pb - rs)
                 drb_ref[g] += sb
                 sbd = sb.astype(dt)
                 # q-hat grad (stacked) -> unstack block-diagonal rows
