@@ -47,20 +47,26 @@ class TorchBatchNorm(nn.Module):
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(C))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(C))
 
+        # Stats and the affine run in f32, but the output keeps the caller's
+        # dtype: the f32 running-stat variables would otherwise promote bf16
+        # activations to f32 at the first norm and drag every downstream
+        # dense/attention op in the block off the bf16 MXU path.
+        xf = x.astype(jnp.float32)
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             reduce_axes = tuple(range(x.ndim - 1))
             n = float(np.prod([x.shape[a] for a in reduce_axes]))
-            mean = jnp.mean(x, axis=reduce_axes)
-            var = jnp.mean((x - mean) ** 2, axis=reduce_axes)
+            mean = jnp.mean(xf, axis=reduce_axes)
+            var = jnp.mean((xf - mean) ** 2, axis=reduce_axes)
             if not self.is_initializing():
                 unbiased = var * (n / max(n - 1.0, 1.0))
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
 
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        return y * scale + bias
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(x.dtype)
 
 
 def _gelu(x: jnp.ndarray) -> jnp.ndarray:
@@ -97,7 +103,9 @@ class MHA(nn.Module):
 
         scale = math.sqrt(head_dim) if self.compat_scale else 1.0 / math.sqrt(head_dim)
         scores = jnp.einsum("bhld,bhsd->bhls", q, k) * scale
-        weights = jax.nn.softmax(scores, axis=-1)
+        # f32 softmax regardless of the activation dtype (tiny [L,S] grids;
+        # keeps bf16 runs numerically close to the f32 reference)
+        weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
         out = jnp.einsum("bhls,bhsd->bhld", weights, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, self.embed_dim)
         return nn.Dense(self.embed_dim, name="output")(out)
@@ -206,7 +214,10 @@ class PositionalEncoding(nn.Module):
             )
             t_processed = t[:, -1:] - t  # [B, T]
             freqs = t_processed[..., None].astype(jnp.float32) * jnp.asarray(inv_freq)
-            return rope_rotate_pairs(x, jnp.cos(freqs), jnp.sin(freqs))
+            # f32 phase tables must not promote bf16 activations
+            return rope_rotate_pairs(
+                x, jnp.cos(freqs), jnp.sin(freqs)
+            ).astype(x.dtype)
         else:
             raise ValueError(f"Unsupported position mode: {self.mode}")
 

@@ -655,6 +655,10 @@ def _pallas_forward(
         # images into one slab so the GEMMs see M ~= 2048 rows (1024 for f32
         # inputs: the slab activations double and crowd the VMEM budget)
         tok = 2048 if jnp.dtype(x.dtype).itemsize <= 2 else 1024
+        # the G-bound caps in-kernel loop unrolling (RR*G window-group
+        # iterations per program); raising it to 64 made stage 3 WORSE
+        # (3.20 vs 2.80 ms/blk at batch 256) — weights stay VMEM-resident
+        # across programs already, so bigger slabs only add pressure
         cap = min(max(1, tok // L), max(1, 32 // G))
         RR = _largest_divisor_leq(B, cap)
         grid = (B // RR, 1)
