@@ -403,8 +403,6 @@ class SwinV2Block(nn.Module):
         ]).astype(dt)
 
         xi = x.reshape(B, H, W, C).astype(dt)
-        if sh > 0:
-            xi = jnp.roll(xi, shift=(-sh, -sh), axis=(1, 2))
         y = fused_swin_block(
             xi,
             wqkv, bqkv,
@@ -421,9 +419,8 @@ class SwinV2Block(nn.Module):
             num_heads=self.num_heads,
             eps=self.config.layer_norm_eps,
             interpret=jax.default_backend() != "tpu",
+            shift=sh,
         )
-        if sh > 0:
-            y = jnp.roll(y, shift=(sh, sh), axis=(1, 2))
         return y.reshape(B, H * W, C)
 
 

@@ -13,10 +13,15 @@ work (LayerNorms, residual adds, window partition transposes) on the 134 MB
 stage-0 activation tensor at batch 64 — this kernel removes all of it: the
 activation is read from HBM once and written once per block.
 
-Shifted windows: the caller rolls the input (cheap relative to the fusion win;
-`x + unroll(f(roll(x))) == unroll(roll(x) + f(roll(x)))` because unroll is a
-permutation, so the whole block — both residuals included — is computed in
-rolled coordinates and un-rolled once at the end).
+Shifted windows: the roll happens IN-KERNEL (``shift=sh``).  Each program
+takes the whole image (RR = nH), rolls the x slab in VMEM (two static
+concat-rolls of ~1 MB), computes the block in rolled coordinates — valid
+because `x + unroll(f(roll(x))) == unroll(roll(x) + f(roll(x)))`, unroll
+being a permutation — and un-rolls the output slab before the store.  This
+replaces the two whole-tensor HBM ``jnp.roll`` passes the caller used to do
+(~2 ms at batch 256 across the stage-0/1 shifted blocks).  The backward
+keeps the roll-outside formulation: the vjp rule rolls x and the cotangent,
+runs the unshifted backward, and un-rolls dx (bitwise-identical math).
 
 Grid: (B, nH) — one program per (image, window-row). Window/MLP loops inside
 are static Python unrolls (nW <= 4 for Swin-B/256). Stage 3 (C=1024) is NOT
@@ -107,7 +112,7 @@ def _block_kernel(
     ln2s_ref, ln2b_ref, relb_ref, scale_ref, dp_ref, mask_ref,
     out_ref, attn_ref,
     *, ws: int, Wb: int, RR: int, nWj: int, gs: int, heads: int,
-    eps: float, single: bool,
+    eps: float, single: bool, shift: int = 0,
 ):
     """One slab of RR*nWj windows.
 
@@ -145,7 +150,16 @@ def _block_kernel(
         y = (xf - mean) * jax.lax.rsqrt(var + eps)
         return y * s_ref[:].astype(f32) + b_ref[:].astype(f32)
 
-    xs = x_ref[:].reshape(S_tok, C)
+    if shift:
+        # in-VMEM roll to shifted-window coordinates (the program holds the
+        # full image: RR == nH, Wb == W, so the wrap is local). Static
+        # concat-of-slices — no HBM traffic.
+        img = x_ref[:].reshape(RR * ws, Wb, C)
+        img = jnp.concatenate([img[shift:], img[:shift]], 0)
+        img = jnp.concatenate([img[:, shift:], img[:, :shift]], 1)
+        xs = img.reshape(S_tok, C)
+    else:
+        xs = x_ref[:].reshape(S_tok, C)
 
     for _rep in range(2 if _VARIANT == "x2" else 1):
         xs = _block_body(
@@ -155,7 +169,13 @@ def _block_kernel(
             ws=ws, Wb=Wb, RR=RR, nWj=nWj, gs=gs, heads=heads, single=single,
             b=b, S_tok=S_tok, C=C, hd=hd, G=G, GG=GG, L=L, dt=dt,
         )
-    out_ref[:] = xs.astype(dt).reshape(x_ref.shape)
+    if shift:
+        y = xs.astype(dt).reshape(RR * ws, Wb, C)
+        y = jnp.concatenate([y[-shift:], y[:-shift]], 0)
+        y = jnp.concatenate([y[:, -shift:], y[:, :-shift]], 1)
+        out_ref[:] = y.reshape(x_ref.shape)
+    else:
+        out_ref[:] = xs.astype(dt).reshape(x_ref.shape)
 
 
 def _block_body(
@@ -635,6 +655,7 @@ def _pallas_forward(
     x, wqkv, bqkv, wproj, bproj, ln1_scale, ln1_bias, w1, b1, w2, b2,
     ln2_scale, ln2_bias, rel_bias, logit_scale, dp, mask=None,
     *, window_size: int, num_heads: int, eps: float, interpret: bool,
+    shift: int = 0,
 ):
     B, H, W, C = x.shape
     ws = window_size
@@ -650,6 +671,7 @@ def _pallas_forward(
     GG = gs * hd
 
     single = nH == 1 and nWj == 1
+    assert not (single and shift), "single-window blocks never shift"
     if single:
         # single-window stages (SwinV2-256 stages 2/3): pack several whole
         # images into one slab so the GEMMs see M ~= 2048 rows (1024 for f32
@@ -664,6 +686,14 @@ def _pallas_forward(
         grid = (B // RR, 1)
         x_spec = pl.BlockSpec(
             (RR, ws, W, C), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+    elif shift:
+        # shifted blocks: the program must hold the full image so the
+        # in-kernel roll wraps locally (stage 0: 4 window-rows = 1 MB bf16)
+        RR = nH
+        grid = (B, 1)
+        x_spec = pl.BlockSpec(
+            (1, RR * ws, W, C), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM
         )
     else:
         # multi-window stages: one slab = RR window-rows of one image
@@ -719,7 +749,7 @@ def _pallas_forward(
     ]
     kw = dict(
         ws=ws, Wb=Wb, RR=RR, nWj=nWj, gs=gs, heads=num_heads, eps=eps,
-        single=single,
+        single=single, shift=shift,
     )
     if mask is not None:
         in_specs.append(
@@ -838,10 +868,10 @@ def _block_reference(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_block_ad(static, *args):
-    window_size, num_heads, eps, interpret = static
+    window_size, num_heads, eps, interpret, shift = static
     return _pallas_forward(
         *args, window_size=window_size, num_heads=num_heads, eps=eps,
-        interpret=interpret,
+        interpret=interpret, shift=shift,
     )
 
 
@@ -1030,19 +1060,33 @@ _PALLAS_BWD_MAX_DIM = 512
 
 
 def _fused_block_bwd(static, residuals, g):
-    window_size, num_heads, eps, interpret = static
+    window_size, num_heads, eps, interpret, shift = static
+    if shift:
+        # the backward kernels assume unshifted windows; use the roll-outside
+        # equivalence (roll is an orthogonal permutation, so the vjp of
+        # y = unroll(f(roll(x))) is dx = unroll(f'(roll(x))^T roll(g)))
+        residuals = (
+            jnp.roll(residuals[0], (-shift, -shift), (1, 2)),
+            *residuals[1:],
+        )
+        g = jnp.roll(g, (-shift, -shift), (1, 2))
     x = residuals[0]
     C = x.shape[-1]
     if C <= _PALLAS_BWD_MAX_DIM:
-        return _pallas_backward(
+        grads = _pallas_backward(
             g, *residuals, window_size=window_size, num_heads=num_heads,
             eps=eps, interpret=interpret,
         )
-    ref = functools.partial(
-        _block_reference, window_size=window_size, num_heads=num_heads, eps=eps
-    )
-    _, vjp = jax.vjp(ref, *residuals)
-    return vjp(g)
+    else:
+        ref = functools.partial(
+            _block_reference, window_size=window_size, num_heads=num_heads,
+            eps=eps,
+        )
+        _, vjp = jax.vjp(ref, *residuals)
+        grads = vjp(g)
+    if shift:
+        grads = (jnp.roll(grads[0], (shift, shift), (1, 2)), *grads[1:])
+    return grads
 
 
 _fused_block_ad.defvjp(_fused_block_fwd, _fused_block_bwd)
@@ -1050,10 +1094,10 @@ _fused_block_ad.defvjp(_fused_block_fwd, _fused_block_bwd)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("window_size", "num_heads", "eps", "interpret"),
+    static_argnames=("window_size", "num_heads", "eps", "interpret", "shift"),
 )
 def fused_swin_block(
-    x: jnp.ndarray,          # [B, H, W, C] (pre-rolled when shifted)
+    x: jnp.ndarray,          # [B, H, W, C] (UN-rolled; pass shift= instead)
     wqkv: jnp.ndarray,       # [C, 3C]   (query | key | value kernels)
     bqkv: jnp.ndarray,       # [3C]      (key slice zero: no key bias in SwinV2)
     wproj: jnp.ndarray,      # [C, C]
@@ -1071,6 +1115,7 @@ def fused_swin_block(
     num_heads: int,
     eps: float = 1e-5,
     interpret: bool = False,
+    shift: int = 0,
 ) -> jnp.ndarray:
     if droppath_keep is None:
         droppath_keep = jnp.ones((x.shape[0], 2), jnp.float32)
@@ -1081,4 +1126,6 @@ def fused_swin_block(
     )
     if mask is not None:
         args = args + (mask,)
-    return _fused_block_ad((window_size, num_heads, eps, interpret), *args)
+    return _fused_block_ad(
+        (window_size, num_heads, eps, interpret, shift), *args
+    )
