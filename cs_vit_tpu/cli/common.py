@@ -192,6 +192,7 @@ def build_loader(cfg: FinetuneConfig, dataset, shuffle: bool) -> DataLoader:
         seed=42,
         num_shards=jax.process_count(),
         shard_index=jax.process_index(),
+        num_workers=cfg.num_workers,
     )
 
 

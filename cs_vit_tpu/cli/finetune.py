@@ -239,6 +239,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--remat", action="store_true", default=False)
+    p.add_argument("--num_workers", type=int, default=None,
+                   help="host loader threads (default: config, 8)")
     return p
 
 

@@ -42,15 +42,9 @@ from ..train.checkpoint import save_checkpoint
 from ..utils.logging import wrap_prefix_print
 
 
-class _ImageOnlyLoader(DataLoader):
+def _stack_images(items):
     """Collates bare [S,S,3] images into a [B,S,S,3] stack."""
-
-    def _batches(self):
-        idx = self._indices()
-        stop = len(idx) - (len(idx) % self.batch_size) if self.drop_last else len(idx)
-        for s in range(0, stop, self.batch_size):
-            chunk = idx[s : s + self.batch_size]
-            yield np.stack([self.dataset[int(i)] for i in chunk])
+    return np.stack(items)
 
 
 def build_dataset(name: str, root: str, img_size: int):
@@ -66,8 +60,9 @@ def build_dataset(name: str, root: str, img_size: int):
 def main(args):
     print_ = wrap_prefix_print(f"[{jax.process_index()}] ")
     dataset = build_dataset(args.dataset, args.data_root, args.img_size)
-    loader = _ImageOnlyLoader(
+    loader = DataLoader(
         dataset, batch_size=args.batch_size, shuffle=True, drop_last=True,
+        collate_fn=_stack_images,
         num_shards=jax.process_count(), shard_index=jax.process_index(),
     )
     mesh = fitting_mesh(args.batch_size)

@@ -41,6 +41,9 @@ class FinetuneConfig:
     ih26mseq_root: str = "/data/InterHand2.6M_5fps_batch1"
     ho3d_root: str = "/data/HO3D_v3"
     dexycb_root: str = "/data/dexycb"
+    # host loader threads per process (ref DataLoader num_workers=8,
+    # `scripts/finetune.py:103-111`; threads instead of worker processes)
+    num_workers: int = 8
 
     # Train
     phase: str = "inference"

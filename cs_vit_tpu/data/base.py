@@ -11,12 +11,37 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
 
-class SlidingWindowDataset:
+class DeterministicItemRNG:
+    """Per-(epoch, item) RNG for augmentation draws.
+
+    A shared ``np.random.Generator`` is neither thread-safe (the parallel
+    loader calls ``__getitem__`` concurrently) nor reproducible (draws depend
+    on iteration order). Seeding a fresh generator from ``[seed, epoch, ix]``
+    makes every item's augmentation a pure function of (seed, epoch, index),
+    so a ``num_workers=8`` run produces bitwise-identical batches to a serial
+    one. Mirrors the determinism intent of torch's per-worker
+    ``base_seed + worker_id`` seeding (ref `scripts/finetune.py:103-111`)
+    while being stronger (order-independent).
+    """
+
+    _seed: int = 0
+    epoch: int = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = int(epoch)
+
+    def _item_rng(self, ix: int) -> np.random.Generator:
+        return np.random.default_rng([self._seed, self.epoch, int(ix)])
+
+
+class SlidingWindowDataset(DeterministicItemRNG):
     """Base for h5-sequence datasets: index arithmetic + len/locate."""
 
     def __init__(self, num_frames: int):
@@ -69,9 +94,22 @@ class ConcatDataset:
         base = 0 if d == 0 else int(self._cum[d - 1])
         return self.datasets[d][ix - base]
 
+    def set_epoch(self, epoch: int):
+        for d in self.datasets:
+            if hasattr(d, "set_epoch"):
+                d.set_epoch(epoch)
+
 
 class DataLoader:
-    """Epoch-seeded shuffling, per-process sharding, thread prefetch."""
+    """Epoch-seeded shuffling, per-process sharding, parallel item loading.
+
+    ``num_workers > 1`` fans ``__getitem__`` out over a thread pool (the hot
+    per-item work — cv2 JPEG decode, the ctypes C fast-crop, h5py reads —
+    releases the GIL, so threads scale like the reference's 8 dataloader
+    worker *processes*, ref `scripts/finetune.py:103-111`, without the
+    pickling/fork cost). Batches are yielded in order and, thanks to the
+    datasets' per-(epoch, item) RNG, are bitwise-identical to a serial run.
+    """
 
     def __init__(
         self,
@@ -83,6 +121,8 @@ class DataLoader:
         num_shards: int = 1,
         shard_index: int = 0,
         prefetch: int = 2,
+        num_workers: int = 0,
+        collate_fn=collate,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -92,10 +132,14 @@ class DataLoader:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.prefetch = prefetch
+        self.num_workers = num_workers
+        self.collate_fn = collate_fn
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)
@@ -114,12 +158,40 @@ class DataLoader:
             return per // self.batch_size
         return (per + self.batch_size - 1) // self.batch_size
 
-    def _batches(self) -> Iterator[Dict[str, Any]]:
+    def _chunks(self) -> Iterator[np.ndarray]:
         idx = self._indices()
         stop = len(idx) - (len(idx) % self.batch_size) if self.drop_last else len(idx)
         for s in range(0, stop, self.batch_size):
-            chunk = idx[s : s + self.batch_size]
-            yield collate([self.dataset[int(i)] for i in chunk])
+            yield idx[s : s + self.batch_size]
+
+    def _batches(self) -> Iterator[Dict[str, Any]]:
+        if self.num_workers > 1:
+            yield from self._batches_parallel()
+            return
+        for chunk in self._chunks():
+            yield self.collate_fn([self.dataset[int(i)] for i in chunk])
+
+    def _batches_parallel(self) -> Iterator[Dict[str, Any]]:
+        """Thread-pool item loading, up to ``prefetch + 1`` batches in flight."""
+        with ThreadPoolExecutor(self.num_workers) as ex:
+            pending: deque = deque()
+            chunks = self._chunks()
+
+            def fill():
+                while len(pending) <= max(0, self.prefetch):
+                    chunk = next(chunks, None)
+                    if chunk is None:
+                        return
+                    pending.append(
+                        [ex.submit(self.dataset.__getitem__, int(i)) for i in chunk]
+                    )
+
+            fill()
+            while pending:
+                futures = pending.popleft()
+                batch = self.collate_fn([f.result() for f in futures])
+                fill()
+                yield batch
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         if self.prefetch <= 0:

@@ -58,7 +58,7 @@ class DexYCB(SlidingWindowDataset):
         self.img_size = img_size
         self.expansion_ratio = expansion_ratio
         self.compat_pose_slice = compat_pose_slice
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
 
         pca = np.load(osp.join(_ASSET_DIR, "mano_lr_pca.npz"))
         self.mano_pca = {k: pca[k].astype(np.float32) for k in ("left", "right")}
@@ -120,12 +120,13 @@ class DexYCB(SlidingWindowDataset):
 
         rot_rad = np.zeros((T,), np.float32)
         if self.data_split == "train":
+            rng = self._item_rng(ix)
             aug = rotation_augmentation(
                 img_seq, joint_cam, joint_rel, joint_img, mano_pose, princpt,
-                self.expansion_ratio, self.img_size, self._rng,
+                self.expansion_ratio, self.img_size, rng,
             )
             rot_rad = aug["rot_rad"]
-            patches = random_photometric_aug(aug["patches"], self._rng)
+            patches = random_photometric_aug(aug["patches"], rng)
             square_bboxes = aug["square_bboxes"]
             bbox_tight = aug["bbox_tight"]
             joint_img = aug["joint_img"]

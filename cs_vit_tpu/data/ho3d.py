@@ -41,7 +41,7 @@ class HO3D(SlidingWindowDataset):
         self.data_split = data_split
         self.img_size = img_size
         self.expansion_ratio = expansion_ratio
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
         self._reorder = reorder_indices(HO3D_JOINTS_ORDER, TARGET_JOINTS_ORDER)
 
         self.h5 = h5py.File(osp.join(root, f"{data_split}_ho3d_seq.h5"), "r")
@@ -74,12 +74,13 @@ class HO3D(SlidingWindowDataset):
 
         rot_rad = np.zeros((T,), np.float32)
         if self.data_split == "train":
+            rng = self._item_rng(ix)
             aug = rotation_augmentation(
                 img_seq, joint_cam, joint_rel, joint_img, mano_pose, princpt,
-                self.expansion_ratio, self.img_size, self._rng,
+                self.expansion_ratio, self.img_size, rng,
             )
             rot_rad = aug["rot_rad"]
-            patches = random_photometric_aug(aug["patches"], self._rng)
+            patches = random_photometric_aug(aug["patches"], rng)
             square_bboxes = aug["square_bboxes"]
             bbox_tight = aug["bbox_tight"]
             joint_img = aug["joint_img"]

@@ -52,7 +52,7 @@ class InterHand26MSeq(SlidingWindowDataset):
         self.expansion_ratio = expansion_ratio
         self.img_path = osp.join(root, "images", data_split)
         self.annot_path = osp.join(root, "annotations", data_split)
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
         self._reorder = reorder_indices(IH26M_RJOINTS_ORDER, TARGET_JOINTS_ORDER)
 
         self.h5 = h5py.File(osp.join(self.annot_path, "seq.h5"), "r")
@@ -104,9 +104,10 @@ class InterHand26MSeq(SlidingWindowDataset):
         img_seq = np.stack(
             [load_image_rgb(osp.join(self.img_path, p)) for p in img_path]
         )
+        rng = self._item_rng(ix) if self.data_split == "train" else None
         if self.data_split == "train":
             img_seq = np.stack(
-                [random_photometric_aug(f, self._rng) for f in img_seq]
+                [random_photometric_aug(f, rng) for f in img_seq]
             )
 
         flip = handedness[0][0] == "l"
@@ -133,7 +134,7 @@ class InterHand26MSeq(SlidingWindowDataset):
         if self.data_split == "train":
             aug = rotation_augmentation(
                 img_seq, joint_cam, joint_rel, joint_img, mano_pose, princpt,
-                self.expansion_ratio, self.img_size, self._rng,
+                self.expansion_ratio, self.img_size, rng,
             )
             rot_rad = aug["rot_rad"]
             patches = aug["patches"]

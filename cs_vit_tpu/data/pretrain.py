@@ -29,6 +29,7 @@ from ..ops.resample import (
     crop_and_resize_np,
     crop_with_normalized_box_np,
 )
+from .base import DeterministicItemRNG
 from .transforms_np import color_jitter, _grayscale
 
 _VALID_EXT = {".jpg", ".jpeg", ".png", ".webp"}
@@ -80,7 +81,7 @@ def _load_rgb(path: str) -> np.ndarray:
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
 
 
-class COCO2017:
+class COCO2017(DeterministicItemRNG):
     """Unlabeled image folder -> augmented [S,S,3] crops."""
 
     def __init__(
@@ -95,7 +96,7 @@ class COCO2017:
         self.img_size = _to_tuple(img_size)
         self.default_augment = default_augment
         self.custom_transform = custom_transform
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
         self.image_paths = [
             osp.join(root, f)
             for root, _, files in os.walk(img_dir)
@@ -113,8 +114,9 @@ class COCO2017:
             if self.custom_transform:
                 img = self.custom_transform(img)
             if self.default_augment:
-                img = _default_photo_aug(img, self._rng)
-                img = _random_resized_crop(img, self.img_size, self._rng)
+                rng = self._item_rng(idx)
+                img = _default_photo_aug(img, rng)
+                img = _random_resized_crop(img, self.img_size, rng)
             else:
                 img = cv2.resize(
                     img, (self.img_size[1], self.img_size[0]),
@@ -126,7 +128,7 @@ class COCO2017:
             return np.zeros((*self.img_size, 3), np.float32)
 
 
-class Ego4DHandImage:
+class Ego4DHandImage(DeterministicItemRNG):
     """Hand crops from Ego4D frames with mediapipe-annotated bboxes."""
 
     def __init__(
@@ -146,7 +148,7 @@ class Ego4DHandImage:
         self.img_size = _to_tuple(img_size)
         self.default_augment = default_augment
         self.custom_transform = custom_transform
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
 
         cache_dir = cache_dir or str(self.root / "__cache__")
         cache = osp.join(cache_dir, "ego4d.pkl")
@@ -191,14 +193,14 @@ class Ego4DHandImage:
             if self.custom_transform:
                 crop = self.custom_transform(crop)
             if self.default_augment:
-                crop = _default_photo_aug(crop, self._rng)
+                crop = _default_photo_aug(crop, self._item_rng(ix))
             return crop.astype(np.float32)
         except Exception as e:
             print(f"Error loading {annot['frame_path']}: {e}")
             return np.zeros((*self.img_size, 3), np.float32)
 
 
-class HIntHandImage:
+class HIntHandImage(DeterministicItemRNG):
     """HInt dataset hand crops (parts: ego4d / epick / newdays)."""
 
     def __init__(
@@ -216,7 +218,7 @@ class HIntHandImage:
         self.img_size = _to_tuple(img_size)
         self.default_augment = default_augment
         self.custom_transform = custom_transform
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
 
         parts = sorted(parts)
         sub_folders = [osp.join(root, f"TRAIN_{s}_img") for s in parts]
@@ -254,7 +256,7 @@ class HIntHandImage:
             if self.custom_transform:
                 crop = self.custom_transform(crop)
             if self.default_augment:
-                crop = _default_photo_aug(crop, self._rng)
+                crop = _default_photo_aug(crop, self._item_rng(ix))
             return crop.astype(np.float32)
         except Exception as e:
             print(f"Error loading {img_path}: {e}")

@@ -148,3 +148,29 @@ def test_collate_keys(roots):
     assert isinstance(b["imgs_path"], list) and len(b["imgs_path"]) == 2
     assert isinstance(b["flip"], list)
     assert b["timestamp"].shape == (2, T)
+
+
+def test_parallel_loader_matches_serial(roots):
+    """num_workers>1 must give bitwise-identical batches to a serial run
+    (per-(epoch, item) RNG makes aug order-independent), and epochs must
+    re-draw the augmentation."""
+    ds = DexYCB(roots["dexycb"], T, "s1", "train", img_size=IMG)
+    kw = dict(batch_size=4, shuffle=True, seed=11, drop_last=True)
+    serial = DataLoader(ds, prefetch=0, **kw)
+    parallel = DataLoader(ds, num_workers=4, prefetch=2, **kw)
+    serial.set_epoch(3)
+    parallel.set_epoch(3)
+    got_s, got_p = list(serial), list(parallel)
+    assert len(got_s) == len(got_p) > 0
+    for bs, bp in zip(got_s, got_p):
+        for k in bs:
+            if k in ("imgs_path", "flip"):
+                assert bs[k] == bp[k]
+            else:
+                np.testing.assert_array_equal(bs[k], bp[k])
+    # a different epoch changes the augmentation draws for the same item
+    item_e3 = ds[0]
+    ds.set_epoch(4)
+    item_e4 = ds[0]
+    assert not np.array_equal(item_e3["patches"], item_e4["patches"])
+    assert not np.array_equal(item_e3["rot_rad"], item_e4["rot_rad"])
