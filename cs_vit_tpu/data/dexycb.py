@@ -30,11 +30,14 @@ from .transforms_np import (
 _ASSET_DIR = osp.join(osp.dirname(__file__), "..", "assets")
 
 
-def load_image_rgb(path: str) -> np.ndarray:
+def load_image_rgb(path: str, as_float: bool = True) -> np.ndarray:
+    """Decode to RGB; ``as_float=False`` keeps uint8 (the crop kernel scales
+    by 1/255 itself, skipping the ~0.5 ms/frame full-frame float pass)."""
     img = cv2.imread(path)
     if img is None:
         raise FileNotFoundError(path)
-    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    return img.astype(np.float32) / 255.0 if as_float else img
 
 
 class DexYCB(SlidingWindowDataset):
@@ -98,7 +101,7 @@ class DexYCB(SlidingWindowDataset):
         ).astype(np.float32)
         joint_bbox_img = joint_img - bbox_tight[:, None, :2]
 
-        img_seq = np.stack([load_image_rgb(p) for p in imgs_path])  # [T,H,W,3]
+        img_seq = np.stack([load_image_rgb(p, as_float=False) for p in imgs_path])  # [T,H,W,3] uint8
 
         # MANO: PCA coeffs -> full 45-d pose (ref :144-147, incl. [0:T] quirk)
         pose_slice = slice(0, T) if self.compat_pose_slice else slice(off, off + T)

@@ -70,7 +70,7 @@ class HO3D(SlidingWindowDataset):
         focal = read("focal")
         princpt = read("princpt")
 
-        img_seq = np.stack([load_image_rgb(p) for p in imgs_path])
+        img_seq = np.stack([load_image_rgb(p, as_float=False) for p in imgs_path])
 
         rot_rad = np.zeros((T,), np.float32)
         if self.data_split == "train":

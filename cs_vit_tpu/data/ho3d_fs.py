@@ -105,7 +105,7 @@ class HO3D_FS(SlidingWindowDataset):
         focal = np.empty((T, 2), np.float32)
         princpt = np.empty((T, 2), np.float32)
         for t, (img_rel, meta_rel) in enumerate(frames):
-            imgs.append(load_image_rgb(osp.join(self.root, img_rel)))
+            imgs.append(load_image_rgb(osp.join(self.root, img_rel), as_float=False))
             with open(osp.join(self.root, meta_rel), "rb") as f:
                 annot = pickle.load(f)
             jc = np.asarray(annot["handJoints3D"], np.float64) * np.asarray(

@@ -239,7 +239,7 @@ class InterHand26M:
     def __getitem__(self, ix: int) -> Dict:
         """Evaluation item: per-hand square crops + 42-joint GT arrays."""
         annot = self.datalist[ix]
-        img = load_image_rgb(annot["img_path"])
+        img = load_image_rgb(annot["img_path"], as_float=False)
         out = {
             "img_path": annot["img_path"],
             "hand_type": annot["hand_type"],

@@ -101,8 +101,15 @@ class InterHand26MSeq(SlidingWindowDataset):
         princpt = read("princpt")
 
         # per-frame photometric aug BEFORE crop (ref `InterHand26MSeq.py:209-216`)
+        # train keeps float frames (photometric aug runs on the FULL frame
+        # before the crop, ref `InterHand26MSeq.py:209-216`); eval stays uint8
+        # so the crop kernel does the only float conversion.
+        as_float = self.data_split == "train"
         img_seq = np.stack(
-            [load_image_rgb(osp.join(self.img_path, p)) for p in img_path]
+            [
+                load_image_rgb(osp.join(self.img_path, p), as_float=as_float)
+                for p in img_path
+            ]
         )
         rng = self._item_rng(ix) if self.data_split == "train" else None
         if self.data_split == "train":

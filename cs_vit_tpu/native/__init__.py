@@ -64,10 +64,15 @@ def _load() -> Optional[ctypes.CDLL]:
         return None
     i64 = ctypes.c_int64
     fp = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.crop_affine_bilinear_batch.argtypes = [
         fp, i64, i64, i64, i64, fp, fp, i64, i64,
     ]
     lib.crop_affine_bilinear_batch.restype = None
+    lib.crop_affine_bilinear_u8_batch.argtypes = [
+        u8p, i64, i64, i64, i64, fp, fp, i64, i64,
+    ]
+    lib.crop_affine_bilinear_u8_batch.restype = None
     _lib = lib
     return _lib
 
@@ -77,20 +82,35 @@ def native_available() -> bool:
 
 
 def crop_affine_bilinear_batch(
-    images: np.ndarray,   # [N, H, W, C] float32, C-contiguous
+    images: np.ndarray,   # [N, H, W, C] float32 in [0,1] OR uint8 in [0,255]
     corners: np.ndarray,  # [N, 4, 2] float32 (tl, tr, br, bl)
     out_h: int,
     out_w: int,
 ) -> Optional[np.ndarray]:
-    """C fast path; returns None if the native library is unavailable."""
+    """C fast path; returns None if the native library is unavailable.
+
+    Output is always float32: [0,1]-scaled for uint8 sources (the u8 kernel
+    folds the 1/255 into the interpolation, so decoded frames skip the
+    full-frame float conversion entirely).
+    """
     lib = _load()
     if lib is None:
         return None
-    images = np.ascontiguousarray(images, np.float32)
     corners = np.ascontiguousarray(corners, np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    if images.dtype == np.uint8:
+        images = np.ascontiguousarray(images)
+        N, H, W, C = images.shape
+        out = np.empty((N, out_h, out_w, C), np.float32)
+        lib.crop_affine_bilinear_u8_batch(
+            images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), N, H, W, C,
+            corners.ctypes.data_as(fp),
+            out.ctypes.data_as(fp), out_h, out_w,
+        )
+        return out
+    images = np.ascontiguousarray(images, np.float32)
     N, H, W, C = images.shape
     out = np.empty((N, out_h, out_w, C), np.float32)
-    fp = ctypes.POINTER(ctypes.c_float)
     lib.crop_affine_bilinear_batch(
         images.ctypes.data_as(fp), N, H, W, C,
         corners.ctypes.data_as(fp),

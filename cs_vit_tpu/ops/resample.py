@@ -73,22 +73,27 @@ def _bilinear_gather_np(img: np.ndarray, coords: np.ndarray) -> np.ndarray:
 
 
 def crop_and_resize_np(
-    images: np.ndarray,  # [N,H,W,C] float
+    images: np.ndarray,  # [N,H,W,C] float32 in [0,1] OR uint8 in [0,255]
     corners: np.ndarray,  # [N,4,2] (tl,tr,br,bl) in pixel coords
     out_size: Tuple[int, int],
 ) -> np.ndarray:
-    """Host-side kornia-parity crop+resize -> [N,h,w,C].
+    """Host-side kornia-parity crop+resize -> [N,h,w,C] float32 in [0,1].
 
     Uses the C fast path (cs_vit_tpu.native, same arithmetic, ~20-50x faster)
-    when a compiler is available; pure-numpy otherwise.
+    when a compiler is available; pure-numpy otherwise. uint8 sources are
+    interpolated raw and scaled by 1/255 in the kernel, so decoded frames
+    never need a full-frame float conversion (results match the float path
+    to ~1 ulp because the constant scale commutes with bilinear weights).
     """
     h, w = out_size
-    if images.dtype == np.float32:
+    if images.dtype in (np.float32, np.uint8):
         from ..native import crop_affine_bilinear_batch
 
         native = crop_affine_bilinear_batch(images, np.asarray(corners), h, w)
         if native is not None:
             return native
+    if images.dtype == np.uint8:  # numpy fallback: convert once, same result
+        images = images.astype(np.float32) / 255.0
     out = np.empty((images.shape[0], h, w, images.shape[-1]), dtype=images.dtype)
     for i in range(images.shape[0]):
         grid = _sample_coords(corners[i], h, w, np)

@@ -192,3 +192,35 @@ def test_native_fastcrop_speed(rng):
         resample._bilinear_gather_np(img[0], grid)
     t_np = (time.perf_counter() - t0) / 5
     assert t_native < t_np / 3, f"native {t_native*1e3:.2f}ms vs numpy {t_np*1e3:.2f}ms"
+
+
+def test_uint8_crop_matches_float():
+    """uint8-source crop (1/255 folded into the kernel) must match the
+    float-source path to float rounding, through both the native C kernel
+    and the numpy fallback."""
+    rng = np.random.default_rng(12)
+    imgs_u8 = rng.integers(0, 256, (3, 40, 48, 3), dtype=np.uint8)
+    imgs_f32 = imgs_u8.astype(np.float32) / 255.0
+    corners = np.stack(
+        [
+            np.array([[4.5, 3.2], [43.1, 3.2], [43.1, 36.9], [4.5, 36.9]]),
+            np.array([[-5.0, -2.0], [30.0, -2.0], [30.0, 30.0], [-5.0, 30.0]]),
+            np.array([[10.0, 10.0], [52.0, 10.0], [52.0, 45.0], [10.0, 45.0]]),
+        ]
+    ).astype(np.float32)
+    out_u8 = crop_and_resize_np(imgs_u8, corners, (16, 16))
+    out_f32 = crop_and_resize_np(imgs_f32, corners, (16, 16))
+    assert out_u8.dtype == np.float32
+    np.testing.assert_allclose(out_u8, out_f32, atol=2e-6)
+
+    import os
+    os.environ["CSVIT_DISABLE_NATIVE"] = "1"
+    try:
+        import cs_vit_tpu.native as native_mod
+        old_lib, old_tried = native_mod._lib, native_mod._tried
+        native_mod._lib, native_mod._tried = None, True
+        out_np = crop_and_resize_np(imgs_u8, corners, (16, 16))
+        np.testing.assert_allclose(out_np, out_f32, atol=2e-6)
+    finally:
+        del os.environ["CSVIT_DISABLE_NATIVE"]
+        native_mod._lib, native_mod._tried = old_lib, old_tried
