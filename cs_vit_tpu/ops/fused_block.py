@@ -106,6 +106,19 @@ def _seg_rsqrt_interleaved(s2, gs: int, hd: int):
     return jax.lax.rsqrt(t + 1e-24)
 
 
+def _roll2d(img, shift: int):
+    """In-VMEM roll to shifted-window coordinates (static concat-of-slices;
+    the program holds the whole image so the wrap is local)."""
+    img = jnp.concatenate([img[shift:], img[:shift]], 0)
+    return jnp.concatenate([img[:, shift:], img[:, :shift]], 1)
+
+
+def _unroll2d(img, shift: int):
+    """Inverse of :func:`_roll2d`."""
+    img = jnp.concatenate([img[-shift:], img[:-shift]], 0)
+    return jnp.concatenate([img[:, -shift:], img[:, :-shift]], 1)
+
+
 def _block_kernel(
     x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
@@ -151,13 +164,9 @@ def _block_kernel(
         return y * s_ref[:].astype(f32) + b_ref[:].astype(f32)
 
     if shift:
-        # in-VMEM roll to shifted-window coordinates (the program holds the
-        # full image: RR == nH, Wb == W, so the wrap is local). Static
-        # concat-of-slices — no HBM traffic.
-        img = x_ref[:].reshape(RR * ws, Wb, C)
-        img = jnp.concatenate([img[shift:], img[:shift]], 0)
-        img = jnp.concatenate([img[:, shift:], img[:, :shift]], 1)
-        xs = img.reshape(S_tok, C)
+        # roll to shifted-window coordinates in VMEM (RR == nH, Wb == W
+        # because the program holds the full image) — no HBM traffic.
+        xs = _roll2d(x_ref[:].reshape(RR * ws, Wb, C), shift).reshape(S_tok, C)
     else:
         xs = x_ref[:].reshape(S_tok, C)
 
@@ -170,9 +179,7 @@ def _block_kernel(
             b=b, S_tok=S_tok, C=C, hd=hd, G=G, GG=GG, L=L, dt=dt,
         )
     if shift:
-        y = xs.astype(dt).reshape(RR * ws, Wb, C)
-        y = jnp.concatenate([y[-shift:], y[:-shift]], 0)
-        y = jnp.concatenate([y[:, -shift:], y[:, :-shift]], 1)
+        y = _unroll2d(xs.astype(dt).reshape(RR * ws, Wb, C), shift)
         out_ref[:] = y.reshape(x_ref.shape)
     else:
         out_ref[:] = xs.astype(dt).reshape(x_ref.shape)
@@ -347,11 +354,18 @@ def _bwd_kernel(
     # scratch
     qkv_s, p_s, attn_s, proj_s, h1_s, m1_s, mg_s, m2_s, qkvb_s,
     *, ws: int, Wb: int, RR: int, nWj: int, gs: int, heads: int,
-    eps: float, single: bool,
+    eps: float, single: bool, shift: int = 0,
 ):
     """Backward of the fused block: recompute the forward slab in VMEM, then
     backprop through it, accumulating weight grads across the whole grid in
-    f32 output blocks (constant index maps + arbitrary grid semantics)."""
+    f32 output blocks (constant index maps + arbitrary grid semantics).
+
+    Shifted blocks roll x and the cotangent into shifted-window coordinates
+    in VMEM and un-roll dx before the store (mirrors the forward kernel; the
+    weight gradients are roll-invariant because a roll only permutes the
+    token rows the outer products sum over). This removes the three
+    whole-tensor HBM roll passes the vjp wrapper used to do.
+    """
     C = x_ref.shape[-1]
     hd = C // heads
     G = heads // gs
@@ -387,7 +401,10 @@ def _bwd_kernel(
     ones_dt = jnp.ones((L, GG), dt)  # MXU softmax-denominator operand
 
     # ---- forward recompute (slab in VMEM), saving what the bwd needs ----
-    xs = x_ref[:].reshape(S_tok, C)
+    if shift:
+        xs = _roll2d(x_ref[:].reshape(RR * ws, Wb, C), shift).reshape(S_tok, C)
+    else:
+        xs = x_ref[:].reshape(S_tok, C)
     qkv_s[...] = (
         jax.lax.dot_general(
             xs, wqkv_ref[:], (((1,), (0,)), ((), ())),
@@ -499,7 +516,11 @@ def _bwd_kernel(
     ).reshape(m2_s.shape)
 
     # ---- backward ----
-    gy = g_ref[:].reshape(S_tok, C).astype(f32)
+    if shift:
+        gy = _roll2d(g_ref[:].reshape(RR * ws, Wb, C), shift)
+        gy = gy.reshape(S_tok, C).astype(f32)
+    else:
+        gy = g_ref[:].reshape(S_tok, C).astype(f32)
 
     # y = h1 + dp1 * (z2*g2 + b2)
     z2, r2 = ln_stats(m2_s[...].reshape(S_tok, C))
@@ -648,7 +669,11 @@ def _bwd_kernel(
         qkvb.astype(dt), wqkv_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=f32,
     )
-    dx_ref[:] = xb.astype(dt).reshape(x_ref.shape)
+    if shift:
+        dimg = _unroll2d(xb.astype(dt).reshape(RR * ws, Wb, C), shift)
+        dx_ref[:] = dimg.reshape(x_ref.shape)
+    else:
+        dx_ref[:] = xb.astype(dt).reshape(x_ref.shape)
 
 
 def _pallas_forward(
@@ -883,6 +908,7 @@ def _pallas_backward(
     g, x, wqkv, bqkv, wproj, bproj, ln1_scale, ln1_bias, w1, b1, w2, b2,
     ln2_scale, ln2_bias, rel_bias, logit_scale, dp, mask=None,
     *, window_size: int, num_heads: int, eps: float, interpret: bool,
+    shift: int = 0,
 ):
     """Fused-block backward as one Pallas kernel: the forward is recomputed
     per slab in VMEM (rematerialization) and backpropagated in place; weight
@@ -899,12 +925,21 @@ def _pallas_backward(
     GG = gs * hd
 
     single = nH == 1 and nWj == 1
+    assert not (single and shift), "single-window blocks never shift"
     if single:
         cap = min(max(1, 1024 // L), max(1, 32 // G))
         RR = _largest_divisor_leq(B, cap)
         grid = (B // RR, 1)
         x_spec = pl.BlockSpec(
             (RR, ws, W, C), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+    elif shift:
+        # shifted blocks: the program holds the full image so the in-kernel
+        # roll wraps locally (mirrors the forward kernel's shifted grid)
+        RR = nH
+        grid = (B, 1)
+        x_spec = pl.BlockSpec(
+            (1, RR * ws, W, C), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM
         )
     else:
         cap = min(max(1, 1024 // (ws * W)), max(1, 24 // max(1, nWj * G)))
@@ -957,7 +992,7 @@ def _pallas_backward(
     ]
     kw = dict(
         ws=ws, Wb=Wb, RR=RR, nWj=nWj, gs=gs, heads=num_heads, eps=eps,
-        single=single,
+        single=single, shift=shift,
     )
     if mask is not None:
         in_specs.append(
@@ -1061,29 +1096,29 @@ _PALLAS_BWD_MAX_DIM = 512
 
 def _fused_block_bwd(static, residuals, g):
     window_size, num_heads, eps, interpret, shift = static
+    x = residuals[0]
+    C = x.shape[-1]
+    if C <= _PALLAS_BWD_MAX_DIM:
+        # the Pallas backward rolls in VMEM itself (mirrors the forward)
+        return _pallas_backward(
+            g, *residuals, window_size=window_size, num_heads=num_heads,
+            eps=eps, interpret=interpret, shift=shift,
+        )
+    # XLA fallback (C > _PALLAS_BWD_MAX_DIM): roll-outside equivalence (roll
+    # is an orthogonal permutation, so the vjp of y = unroll(f(roll(x))) is
+    # dx = unroll(f'(roll(x))^T roll(g)))
     if shift:
-        # the backward kernels assume unshifted windows; use the roll-outside
-        # equivalence (roll is an orthogonal permutation, so the vjp of
-        # y = unroll(f(roll(x))) is dx = unroll(f'(roll(x))^T roll(g)))
         residuals = (
             jnp.roll(residuals[0], (-shift, -shift), (1, 2)),
             *residuals[1:],
         )
         g = jnp.roll(g, (-shift, -shift), (1, 2))
-    x = residuals[0]
-    C = x.shape[-1]
-    if C <= _PALLAS_BWD_MAX_DIM:
-        grads = _pallas_backward(
-            g, *residuals, window_size=window_size, num_heads=num_heads,
-            eps=eps, interpret=interpret,
-        )
-    else:
-        ref = functools.partial(
-            _block_reference, window_size=window_size, num_heads=num_heads,
-            eps=eps,
-        )
-        _, vjp = jax.vjp(ref, *residuals)
-        grads = vjp(g)
+    ref = functools.partial(
+        _block_reference, window_size=window_size, num_heads=num_heads,
+        eps=eps,
+    )
+    _, vjp = jax.vjp(ref, *residuals)
+    grads = vjp(g)
     if shift:
         grads = (jnp.roll(grads[0], (shift, shift), (1, 2)), *grads[1:])
     return grads
