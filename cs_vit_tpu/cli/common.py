@@ -5,7 +5,7 @@ from __future__ import annotations
 import json
 import os
 import os.path as osp
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

@@ -6,8 +6,6 @@ python -m cs_vit_tpu.cli.evaluate --exp myexp --data dexycb --eval_ckpt <path>
 from __future__ import annotations
 
 import argparse
-import dataclasses
-import json
 import os
 from datetime import datetime
 

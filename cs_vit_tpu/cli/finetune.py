@@ -14,7 +14,6 @@ import argparse
 import datetime
 import os
 import time
-from typing import Optional
 
 import jax
 import numpy as np

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

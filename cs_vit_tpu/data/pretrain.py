@@ -19,7 +19,7 @@ import os
 import os.path as osp
 import pickle
 from pathlib import Path
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import cv2
 import numpy as np

@@ -9,7 +9,6 @@ layernorms the last hidden state and returns CLS-stripped patch features.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -15,7 +15,7 @@ Parity targets:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -9,7 +9,6 @@ transform used for crop augmentation.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ tested against each other and against torch.grid_sample ground truth.
 
 from __future__ import annotations
 
-from typing import Tuple, Union
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ Grid: (B_, H). Blocks: q/k/v [L, hd] VMEM, bias [L, L] VMEM indexed by
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -24,10 +24,9 @@ BatchNorm1d: weight/bias -> params scale/bias, running_* -> batch_stats.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
-from flax.traverse_util import unflatten_dict
 
 from ..models.poser import PoserConfig
 from ..models.swinv2 import convert_hf_swinv2_state_dict

@@ -5,7 +5,6 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import flax.struct
-import jax
 import jax.numpy as jnp
 import optax
 

@@ -8,7 +8,7 @@ drawing on the already-loaded crop patches or on reloaded full frames.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import cv2
 import numpy as np
