@@ -72,12 +72,10 @@ def main(cfg: FinetuneConfig, ckpt_root: str = "./checkpoints", h5_path: str | N
 
     writer = EvalH5Writer(h5_path)
     print_("evaluation starts")
-    for host_batch in loader:
-        imgs_path = [p[-1] for p in host_batch.pop("imgs_path")]
-        host_batch.pop("flip", None)
-        batch = shard_batch(host_batch, mesh)
-        predict = jax.device_get(eval_step(params, batch_stats, batch))
 
+    def flush(host_batch, imgs_path, predict_dev):
+        """device_get + reproject + gather + H5 append for one batch."""
+        predict = jax.device_get(predict_dev)
         joint_cam_pred = predict["joint_cam"]            # [B,T',21,3]
         focal = host_batch["focal"][:, -joint_cam_pred.shape[1]:]
         princpt = host_batch["princpt"][:, -joint_cam_pred.shape[1]:]
@@ -93,6 +91,21 @@ def main(cfg: FinetuneConfig, ckpt_root: str = "./checkpoints", h5_path: str | N
             gather_to_host0(joint_reproj_gt),
             gather_to_host0(reproj_pred[:, -1]),
         )
+
+    # software-pipelined loop: dispatch is async, so batch N's host work
+    # (device_get + reprojection + H5 append) overlaps batch N+1's device
+    # compute instead of idling the chip between steps
+    pending = None
+    for host_batch in loader:
+        imgs_path = [p[-1] for p in host_batch.pop("imgs_path")]
+        host_batch.pop("flip", None)
+        batch = shard_batch(host_batch, mesh)
+        predict_dev = eval_step(params, batch_stats, batch)
+        if pending is not None:
+            flush(*pending)
+        pending = (host_batch, imgs_path, predict_dev)
+    if pending is not None:
+        flush(*pending)
     writer.close()
     print_(f"eval dump written to {h5_path}")
     return h5_path
