@@ -111,6 +111,55 @@ class MHA(nn.Module):
         return nn.Dense(self.embed_dim, name="output")(out)
 
 
+class LoraCompatibleMHA(nn.Module):
+    """Deprecated q/k/v-projected attention (ref `transformer_module.py:209-232`).
+
+    The reference pre-projects q/k/v with separate Linears and feeds a
+    STANDARD ``torch.nn.MultiheadAttention`` (1/sqrt(d_h) scaling — it does
+    NOT have the :class:`MHA` sqrt-multiply quirk): a fused in-projection,
+    per-head softmax attention, and an out-projection. Deprecated in the
+    reference in favor of :class:`MHA` and kept here only so old checkpoints
+    load; constructing it warns, as the reference does.
+    """
+
+    embed_dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(
+        self, query: jnp.ndarray, key: jnp.ndarray, value: jnp.ndarray
+    ) -> jnp.ndarray:
+        import warnings
+
+        warnings.warn(
+            "LoraCompatibleMHA has been deprecated. Use MHA instead.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        assert self.embed_dim % self.num_heads == 0
+        head_dim = self.embed_dim // self.num_heads
+        B, L, _ = query.shape
+        S = key.shape[1]
+
+        q = nn.Dense(self.embed_dim, name="q_proj")(query)
+        k = nn.Dense(self.embed_dim, name="k_proj")(key)
+        v = nn.Dense(self.embed_dim, name="v_proj")(value)
+        # torch nn.MultiheadAttention: fused in-projection then out-projection
+        q = nn.Dense(self.embed_dim, name="in_q")(q)
+        k = nn.Dense(self.embed_dim, name="in_k")(k)
+        v = nn.Dense(self.embed_dim, name="in_v")(v)
+
+        q = q.reshape(B, L, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(B, S, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(B, S, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        scores = jnp.einsum("bhld,bhsd->bhls", q, k) / math.sqrt(head_dim)
+        weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhls,bhsd->bhld", weights, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, self.embed_dim)
+        return nn.Dense(self.embed_dim, name="out")(out)
+
+
 class FeedForwardNetwork(nn.Module):
     dim: int
 

@@ -361,6 +361,18 @@ def convert_submodule_state_dict(
     if kind == "mha":
         for n in ("query", "key", "value", "output"):
             _lin(b, sd, n, (n,))
+    elif kind == "lora_mha":
+        # deprecated LoraCompatibleMHA: q/k/v Linears + torch
+        # nn.MultiheadAttention (fused in_proj split into thirds + out_proj)
+        for n in ("q_proj", "k_proj", "v_proj"):
+            _lin(b, sd, n, (n,))
+        w = np.asarray(sd["mha.in_proj_weight"])
+        bias = np.asarray(sd["mha.in_proj_bias"])
+        E = w.shape[1]
+        for i, n in enumerate(("in_q", "in_k", "in_v")):
+            b.param((n, "kernel"), w[i * E:(i + 1) * E].T)
+            b.param((n, "bias"), bias[i * E:(i + 1) * E])
+        _lin(b, sd, "mha.out_proj", ("out",))
     elif kind == "encoder_block":
         _mha(b, sd, "attn", ("attn",))
         _ffn(b, sd, "ffn", ("ffn",))

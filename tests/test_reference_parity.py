@@ -194,3 +194,28 @@ def test_scale_rot_complex_group_parity(rng):
         jnp.asarray(x), jnp.asarray(scale), jnp.asarray(angle),
     )
     np.testing.assert_allclose(np.asarray(ours), expected, atol=1e-4)
+
+
+def test_lora_compatible_mha_parity(rng):
+    """Deprecated LoraCompatibleMHA (ref `transformer_module.py:209-232`):
+    q/k/v pre-projections + standard torch MultiheadAttention."""
+    import warnings
+
+    torch.manual_seed(7)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        ref = tm.LoraCompatibleMHA(D, H).eval()
+    q = rng.normal(size=(2, 5, D)).astype(np.float32)
+    kv = rng.normal(size=(2, 9, D)).astype(np.float32)
+    with torch.no_grad():
+        expected = ref(
+            torch.from_numpy(q), torch.from_numpy(kv), torch.from_numpy(kv)
+        ).numpy()
+
+    params, _ = convert_submodule_state_dict(to_sd(ref), "lora_mha")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        ours = M.LoraCompatibleMHA(D, H).apply(
+            {"params": params}, jnp.asarray(q), jnp.asarray(kv), jnp.asarray(kv)
+        )
+    np.testing.assert_allclose(np.asarray(ours), expected, atol=1e-5)
