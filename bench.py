@@ -199,6 +199,37 @@ def bench_train(model, variables, batch, iters, phase="spatial", compute_dtype=N
     return best
 
 
+def bench_host(num_workers: int, batch: int = 16):
+    """Host data-pipeline throughput (no device needed): synthetic DexYCB at
+    the real 640x480 frame geometry through the full __getitem__ path
+    (JPEG decode, aug, native C crop) and the threaded loader."""
+    import tempfile
+    import time
+
+    from cs_vit_tpu.data import DataLoader, DexYCB
+    from cs_vit_tpu.data.fixtures import make_synthetic_dexycb
+
+    root = tempfile.mkdtemp(prefix="bench_host_")
+    make_synthetic_dexycb(
+        root, num_seqs=2, seq_len=40, img_hw=(480, 640), splits=("train", "test")
+    )
+    out = {}
+    for split in ("train", "test"):
+        ds = DexYCB(root, 1, "s1", split, img_size=256)
+        for nw in sorted({1, num_workers}):
+            loader = DataLoader(
+                ds, batch_size=batch, shuffle=False, drop_last=True,
+                num_workers=nw, prefetch=2,
+            )
+            n = sum(b["patches"].shape[0] for b in loader)  # warm page cache
+            t0 = time.perf_counter()
+            n = sum(b["patches"].shape[0] for b in loader)
+            dt = time.perf_counter() - t0
+            key = f"host_{'train' if split == 'train' else 'eval'}_crops_per_sec_w{nw}"
+            out[key] = round(n / dt, 1)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backbone", default="swinv2-base-256")
@@ -212,7 +243,24 @@ def main():
                     choices=["xla", "pallas", "hybrid", "fused"],
                     help="fused = whole-block Pallas kernel (default; "
                          "1109 vs 796 crops/s for xla at batch 64)")
+    ap.add_argument("--host", action="store_true",
+                    help="bench the host data pipeline only (no TPU needed)")
+    ap.add_argument("--host_workers", type=int, default=8)
     args = ap.parse_args()
+
+    if args.host:
+        host = bench_host(args.host_workers)
+        print(
+            json.dumps(
+                {
+                    "metric": "host_pipeline_crops_per_sec",
+                    "value": max(host.values()),
+                    "unit": "crops/s",
+                    "extra": host,
+                }
+            )
+        )
+        return
 
     cfg = FinetuneConfig(
         exp="bench", backbone=args.backbone, img_size=256, batch_size=args.batch,
