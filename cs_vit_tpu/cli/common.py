@@ -102,7 +102,9 @@ def poser_config_from(cfg: FinetuneConfig) -> PoserConfig:
         persp_decorate=cfg.persp_decorate,
         image_size=cfg.img_size,
         global_positioning=cfg.global_positioning,
-        attention_impl=resolve_attention_impl(cfg.attention_impl),
+        # tp>1: GSPMD has no partitioning rule for the fused pallas_call
+        attention_impl="xla" if getattr(cfg, "tp", 1) > 1
+        else resolve_attention_impl(cfg.attention_impl),
         remat=cfg.remat,
     )
 

@@ -65,10 +65,18 @@ def main(cfg: FinetuneConfig, ckpt_root: str = "./checkpoints", h5_path: str | N
             batch_stats, _ = merge_params(batch_stats, loaded["batch_stats"])
         print_(f"loaded eval ckpt ({len(skipped)} unmatched leaves)")
 
-    mesh = fitting_mesh(cfg.batch_size)
-    params = replicate_state(params, mesh)
-    batch_stats = replicate_state(batch_stats, mesh)
-    eval_step = make_eval_step(model, phase="inference", mesh=mesh)
+    if cfg.tp > 1:
+        from ..parallel import make_mesh, shard_params_tp
+
+        mesh = make_mesh(n_model=cfg.tp)
+        params = shard_params_tp(params, mesh)
+        batch_stats = replicate_state(batch_stats, mesh)
+        eval_step = make_eval_step(model, phase="inference")  # global GSPMD jit
+    else:
+        mesh = fitting_mesh(cfg.batch_size)
+        params = replicate_state(params, mesh)
+        batch_stats = replicate_state(batch_stats, mesh)
+        eval_step = make_eval_step(model, phase="inference", mesh=mesh)
 
     writer = EvalH5Writer(h5_path)
     print_("evaluation starts")

@@ -114,14 +114,29 @@ def main(cfg: FinetuneConfig, ckpt_root: str = "./checkpoints", log_every: int =
         start_epoch = int(restored["epoch"]) + 1
 
     # 5. mesh + jitted step
-    mesh = fitting_mesh(cfg.batch_size)
-    state = replicate_state(state, mesh)
     import jax.numpy as jnp
 
     compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
-    train_step = make_train_step(
-        model, tx, cfg.phase, compute_dtype=compute_dtype, mesh=mesh
-    )
+    if cfg.tp > 1:
+        # tensor parallel: Megatron-style param sharding over the model axis;
+        # the plain global-jit step compiles to a TP program under GSPMD
+        from ..parallel import make_mesh, shard_state_tp
+
+        mesh = make_mesh(n_model=cfg.tp)
+        assert cfg.batch_size % mesh.shape["data"] == 0, (
+            f"batch {cfg.batch_size} not divisible by data axis "
+            f"{mesh.shape['data']}"
+        )
+        state = shard_state_tp(state, tx, mesh)
+        train_step = make_train_step(
+            model, tx, cfg.phase, compute_dtype=compute_dtype
+        )
+    else:
+        mesh = fitting_mesh(cfg.batch_size)
+        state = replicate_state(state, mesh)
+        train_step = make_train_step(
+            model, tx, cfg.phase, compute_dtype=compute_dtype, mesh=mesh
+        )
     tb = TBLogger(os.path.join(exp_dir, "tb_logs") if is_main else None, is_main)
 
     rng = jax.random.key(42 + jax.process_index())
@@ -240,6 +255,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true", default=False)
     p.add_argument("--num_workers", type=int, default=None,
                    help="host loader threads (default: config, 8)")
+    p.add_argument("--tp", type=int, default=None,
+                   help="tensor-parallel size (model mesh axis; forces xla attention)")
     return p
 
 

@@ -65,6 +65,10 @@ class FinetuneConfig:
     # "xla" | "fused" | "pallas" (attention-only kernel) | "hybrid"
     attention_impl: str = "auto"
     remat: bool = False  # rematerialize backbone blocks (saves HBM in training)
+    # tensor-parallel size (model mesh axis; Megatron-style GSPMD sharding of
+    # the projection matmuls). tp > 1 forces attention_impl="xla" — the fused
+    # Pallas kernel has no model-axis partitioning rule.
+    tp: int = 1
 
     def update(self, other: Union["FinetuneConfig", Dict[str, Any]]):
         if isinstance(other, FinetuneConfig):

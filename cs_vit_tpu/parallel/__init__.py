@@ -10,3 +10,9 @@ from .mesh import (  # noqa: F401
     shard_batch,
 )
 from .prefetch import device_prefetch  # noqa: F401
+from .tp import (  # noqa: F401
+    init_opt_state_sharded,
+    poser_param_specs,
+    shard_params_tp,
+    shard_state_tp,
+)

@@ -282,3 +282,39 @@ def test_device_prefetch_propagates_errors():
 
     with pytest.raises(RuntimeError, match="loader exploded"):
         list(device_prefetch(gen(), mesh))
+
+
+def test_train_step_tensor_parallel_8dev(setup_train):
+    """Megatron-style model-axis sharding (GSPMD, `parallel/tp.py`) must match
+    the single-device step bit-for-bit up to reduction order: global-jit
+    semantics are unchanged, only the layout (and the inserted collectives)
+    differ. Beyond-reference capability — SURVEY.md §2.7 has DP only."""
+    from cs_vit_tpu.parallel import poser_param_specs, shard_state_tp
+    from jax.sharding import PartitionSpec as P
+
+    model, tx, state, batch = setup_train
+    ref_step = make_train_step(model, tx, "spatial", donate=False)
+    ref_state, ref_metrics = ref_step(state, batch, jax.random.key(7))
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    specs = poser_param_specs(state.params, 2)
+    assert any(s != P() for s in jax.tree.leaves(specs)), "no param sharded"
+
+    tp_state = shard_state_tp(state, tx, mesh)
+    tp_batch = shard_batch(batch, mesh)
+    tp_step = make_train_step(model, tx, "spatial", donate=False)
+    new_tp, tp_metrics = tp_step(tp_state, tp_batch, jax.random.key(7))
+
+    assert np.isclose(
+        float(tp_metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-4
+    )
+    # Adam divides a reduction-order-sized grad difference by sqrt(nu)+eps,
+    # so near-zero-gradient elements can move by up to ~lr either way; bound
+    # the per-element difference by a few lr (1e-3) rather than grad-scale.
+    for a, b in zip(
+        jax.tree.leaves(ref_state.params), jax.tree.leaves(new_tp.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=3e-3, rtol=1e-2,
+        )
