@@ -262,30 +262,50 @@ def main():
         )
         return
 
-    cfg = FinetuneConfig(
-        exp="bench", backbone=args.backbone, img_size=256, batch_size=args.batch,
-        phase="inference", data=["dexycb"], attention_impl=args.attn,
-    )
-    model = build_model(cfg)
-    variables = init_variables(model, cfg, seq_len=1)
-    params, batch_stats = variables["params"], variables.get("batch_stats", {})
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    if dtype == jnp.bfloat16:
-        params = cast_params(params, dtype)
+    def setup_and_measure(attn_impl):
+        cfg = FinetuneConfig(
+            exp="bench", backbone=args.backbone, img_size=256,
+            batch_size=args.batch, phase="inference", data=["dexycb"],
+            attention_impl=attn_impl,
+        )
+        model = build_model(cfg)
+        variables = init_variables(model, cfg, seq_len=1)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+        if dtype == jnp.bfloat16:
+            params = cast_params(params, dtype)
 
-    rng = np.random.default_rng(0)
-    batch = make_batch(args.batch, 1, cfg.img_size, rng)
-    if dtype == jnp.bfloat16:
-        batch = {**batch, "patches": batch["patches"].astype(dtype)}
+        rng = np.random.default_rng(0)
+        batch = make_batch(args.batch, 1, cfg.img_size, rng)
+        if dtype == jnp.bfloat16:
+            batch = {**batch, "patches": batch["patches"].astype(dtype)}
 
-    sec_per_step = bench_predict(model, params, batch_stats, batch, args.iters)
+        sec = bench_predict(model, params, batch_stats, batch, args.iters)
+        return cfg, model, variables, params, batch_stats, dtype, rng, batch, sec
+
+    try:
+        (cfg, model, variables, params, batch_stats, dtype, rng, batch,
+         sec_per_step) = setup_and_measure(args.attn)
+        attn_used = args.attn
+    except Exception as e:  # pragma: no cover - environment-dependent
+        # Insurance for the Pallas path: a Mosaic/compiler failure on an
+        # unfamiliar TPU runtime must degrade to the XLA path, not produce
+        # no benchmark number at all.
+        if args.attn == "xla":
+            raise
+        print(f"# {args.attn} path failed ({type(e).__name__}: {e}); "
+              "falling back to attention_impl=xla")
+        (cfg, model, variables, params, batch_stats, dtype, rng, batch,
+         sec_per_step) = setup_and_measure("xla")
+        attn_used = "xla"
     crops_per_sec = args.batch / sec_per_step
 
     from cs_vit_tpu.cli.common import poser_config_from
 
     flops_crop = backbone_flops_per_crop(poser_config_from(cfg))
     extra = {
-        "attn_impl": args.attn,
+        "attn_impl": attn_used,
         "dtype": args.dtype,
         "batch": args.batch,
         "ms_per_crop": round(1e3 * sec_per_step / args.batch, 4),
