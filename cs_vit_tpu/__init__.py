@@ -15,3 +15,29 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def _honor_jax_platforms_env() -> None:
+    """Make ``JAX_PLATFORMS=cpu python -m cs_vit_tpu.cli...`` deterministic.
+
+    Hosts that pre-register an out-of-tree TPU plugin (via sitecustomize
+    entry points) can initialize that plugin even when ``JAX_PLATFORMS``
+    says ``cpu``; if the TPU transport is unreachable the process then hangs
+    in backend init instead of running on CPU.  Applying the env var through
+    ``jax.config`` *before* any backend is initialized pins the selection.
+    No-op when the variable is unset or a backend already exists.
+    """
+    import os
+
+    plats = os.environ.get("JAX_PLATFORMS")
+    if not plats:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plats)
+    except Exception:  # backend already initialized -> selection already made
+        pass
+
+
+_honor_jax_platforms_env()
