@@ -24,7 +24,12 @@ def main(prediction_path: str) -> dict:
     return metrics
 
 
-if __name__ == "__main__":
+def cli(argv=None):
+    """Console entry point (`csvit-benchmark`), same surface as `python -m`."""
     parser = argparse.ArgumentParser("Calculate the result")
     parser.add_argument("prediction", type=str, help="prediction result path")
-    main(parser.parse_args().prediction)
+    main(parser.parse_args(argv).prediction)
+
+
+if __name__ == "__main__":
+    cli()

@@ -119,7 +119,8 @@ def main(cfg: FinetuneConfig, ckpt_root: str = "./checkpoints", h5_path: str | N
     return h5_path
 
 
-if __name__ == "__main__":
+def cli(argv=None):
+    """Console entry point (`csvit-evaluate`), same surface as `python -m`."""
     maybe_init_distributed()
     p = argparse.ArgumentParser(prog="cs_vit_tpu eval")
     p.add_argument("--exp", type=str, required=True)
@@ -128,7 +129,7 @@ if __name__ == "__main__":
     p.add_argument("--seq_len", type=int, default=1)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--eval_ckpt", type=str, required=True)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     cfg_path = os.path.join("./checkpoints", args.exp, "config.json")
     assert os.path.exists(cfg_path), f"missing {cfg_path}"
@@ -136,3 +137,7 @@ if __name__ == "__main__":
     cfg.update(vars(args))
     np.random.seed(42)
     main(cfg)
+
+
+if __name__ == "__main__":
+    cli()

@@ -260,10 +260,15 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
-if __name__ == "__main__":
+def cli(argv=None):
+    """Console entry point (`csvit-finetune`), same surface as `python -m`."""
     maybe_init_distributed()
-    args = build_argparser().parse_args()
+    args = build_argparser().parse_args(argv)
     np.random.seed(42)
     arg_dict = {k: v for k, v in vars(args).items() if v is not None}
     cfg = load_or_create_config(args.exp, arg_dict)
     main(cfg)
+
+
+if __name__ == "__main__":
+    cli()

@@ -242,5 +242,10 @@ def build_argparser():
     return p
 
 
+def cli(argv=None):
+    """Console entry point (`csvit-pretrain-ti`), same surface as `python -m`."""
+    main(build_argparser().parse_args(argv))
+
+
 if __name__ == "__main__":
-    main(build_argparser().parse_args())
+    cli()
