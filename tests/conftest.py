@@ -19,6 +19,20 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# The axon plugin can win an init race at interpreter boot (sitecustomize
+# pre-imports jax and a pytest plugin import may touch a backend before this
+# file runs), leaving default_backend()=="tpu" despite the update above —
+# tests then silently run on the tunnel at bf16-ish tolerances and flake.
+# Detect that and drop the cached clients; re-init honors jax_platforms=cpu
+# and the XLA_FLAGS set above.
+if jax.default_backend() != "cpu":
+    try:
+        from jax.extend.backend import clear_backends
+    except ImportError:  # older jax
+        clear_backends = jax.clear_backends
+    clear_backends()
+    assert jax.default_backend() == "cpu", jax.default_backend()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
