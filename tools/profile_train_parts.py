@@ -1,14 +1,18 @@
-"""Bisect the spatial train step on TPU (batch 64, bf16 by default).
+"""Attribute the non-backbone cost of the spatial train step (TPU).
 
-Round-2 state: inference runs at ~46% MFU but the full train step only ~27%.
-The backbone fwd+bwd is FLOP-proportional (~3.25x fwd, same MFU as the
-forward), so the gap lives in the non-backbone step work. This times nested
-subsets of the step so consecutive differences attribute it:
+Round-2 state: full step 160 ms at batch 64 bf16 (400 crops/s) of which
+the backbone fwd+bwd Pallas path is a measured 134 ms — FLOP-proportional
+to the forward (~3.25x) at the same ~46% MFU. The remaining ~26 ms lives
+in small graphs, so instead of recompiling the full model per probe
+(20+ min per remote compile), this times the small graphs standalone:
 
-  fwd(loss)            forward incl. criterion
-  fwd+bwd (no-FK loss) backward, loss cut before MANO FK / criterion
-  fwd+bwd              full loss backward
-  full step            + grad-clip + phase-masked AdamW + state update
+  optimizer            clip-by-global-norm + phase-masked AdamW + update
+  fk+criterion f+b     MANO FK -> losses, fwd+bwd wrt decode outputs
+  decode-tail f+b      spatial encoder + temporal skip + decoders, fwd+bwd
+  params cast          f32 master params -> bf16 compute copy
+
+Known anchors (BASELINE.md): step 160 ms, backbone fwd+bwd 134.1 ms.
+step - backbone - (sum of the probes here) = unattributed residue.
 
   python tools/profile_train_parts.py --batch 64
 """
@@ -28,25 +32,29 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def marginal(make_body, state0, iters=10):
-    """Marginal per-iteration cost of a chained fori_loop body."""
+    """Marginal per-iteration cost of a chained fori_loop body.
 
-    def chained(s, n):
-        return jax.lax.fori_loop(0, n, make_body, s)
+    The trip count is a traced argument so one compile serves both the
+    1-chain and the (iters+1)-chain.
+    """
 
-    f1 = jax.jit(lambda s: chained(s, 1))
-    fk = jax.jit(lambda s: chained(s, iters + 1))
+    f = jax.jit(lambda s, n: jax.lax.fori_loop(0, n, make_body, s))
+
     def get(r):  # fetch the smallest leaf — big-array device_get through
         leaves = jax.tree.leaves(r)  # the tunnel would dominate the timing
         return jax.device_get(min(leaves, key=lambda l: getattr(l, "size", 1)))
-    get(f1(state0))
-    get(fk(state0))
+
+    one = jnp.asarray(1, jnp.int32)
+    k = jnp.asarray(iters + 1, jnp.int32)
+    get(f(state0, one))
+    get(f(state0, k))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        get(f1(state0))
+        get(f(state0, one))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        get(fk(state0))
+        get(f(state0, k))
         tk = time.perf_counter() - t0
         best = min(best, max(tk - t1, 1e-9) / iters)
     return best
@@ -55,161 +63,125 @@ def marginal(make_body, state0, iters=10):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
 
     import optax
 
     from cs_vit_tpu.cli.common import build_model, init_variables
     from cs_vit_tpu.config import FinetuneConfig
-    from cs_vit_tpu.train import TrainState, build_optimizer
+    from cs_vit_tpu.train import build_optimizer
 
-    cdt = jnp.bfloat16 if args.dtype == "bfloat16" else None
     cfg = FinetuneConfig(
         exp="prof", backbone="swinv2-base-256", img_size=256,
         phase="spatial", data=["dexycb"], batch_size=args.batch,
     )
     model = build_model(cfg)
     variables = init_variables(model, cfg, seq_len=1)
+    params0 = variables["params"]
+    stats0 = variables.get("batch_stats", {})
     B = args.batch
     rng = np.random.default_rng(0)
+
+    # --- 1. optimizer only ---------------------------------------------
+    tx = build_optimizer(params0, "spatial", 1e-4)
+    opt0 = tx.init(params0)
+    grads0 = jax.tree.map(lambda x: x * 1e-3, params0)
+
+    def body_opt(i, carry):
+        params, opt, tick = carry
+        g = jax.tree.map(lambda z: z + (tick * 1e-20).astype(z.dtype), grads0)
+        updates, opt = tx.update(g, opt, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt, tick + 1.0
+
+    t = marginal(body_opt, (params0, opt0, jnp.zeros((), jnp.float32)))
+    print(f"  optimizer (clip+masked AdamW): {t*1e3:8.2f} ms")
+
+    # --- 2. params f32 -> bf16 compute cast ----------------------------
+    def body_cast(i, carry):
+        params, tick = carry
+        p = jax.tree.map(
+            lambda x: (x + (tick * 1e-20).astype(x.dtype)).astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            params,
+        )
+        acc = sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(p))
+        return params, acc * 1e-20 + tick
+
+    t = marginal(body_cast, (params0, jnp.zeros((), jnp.float32)))
+    print(f"  params f32->bf16 cast        : {t*1e3:8.2f} ms")
+
+    # --- 3. FK + criterion fwd+bwd -------------------------------------
     batch = {
-        "patches": jnp.asarray(
-            rng.random((B, 1, 256, 256, 3), np.float32)
-        ),
-        "square_bboxes": jnp.asarray(
-            np.tile(np.array([40.0, 40.0, 200.0, 200.0], np.float32), (B, 1, 1))
-        ),
-        "timestamp": jnp.zeros((B, 1), jnp.float32),
-        "focal": jnp.full((B, 1, 2), 500.0, jnp.float32),
-        "princpt": jnp.full((B, 1, 2), 128.0, jnp.float32),
         "joint_cam": jnp.asarray(rng.random((B, 1, 21, 3), np.float32)) * 100,
         "joint_valid": jnp.ones((B, 1, 21, 1), jnp.float32),
         "mano_shape": jnp.zeros((B, 1, 10), jnp.float32),
     }
+    pose_aa0 = jnp.asarray(rng.random((B, 1, 16, 3), np.float32) * 0.1)
+    shape0 = jnp.asarray(rng.random((B, 1, 10), np.float32) * 0.1)
+    rtn0 = jnp.asarray(rng.random((B, 1, 3), np.float32) * 0.1)
 
-    def cast_tree(t):
-        if cdt is None:
-            return t
-        return jax.tree.map(
-            lambda x: x.astype(cdt)
-            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-            else x,
-            t,
+    def fk_loss(pose_aa, shape, rtn):
+        jc, vc, rt = model.apply(
+            {"params": params0, "batch_stats": stats0},
+            pose_aa, shape, rtn, method=model.pose_fk,
         )
-
-    def full_loss(params, stats, patches, rng_):
-        p = cast_tree(params)
-        out, mut = model.apply(
-            {"params": p, "batch_stats": stats},
-            {**batch, "patches": patches.astype(cdt) if cdt else patches},
-            phase="spatial",
-            rngs={"droppath": rng_},
-            mutable=["batch_stats"],
-        )
-        stats32 = jax.tree.map(lambda x: x.astype(jnp.float32), mut["batch_stats"])
-        return out["loss"].astype(jnp.float32), stats32
-
-    def nofk_loss(params, stats, patches, rng_):
-        """Loss cut at decode_pose outputs: skips MANO FK + criterion bwd."""
-        p = cast_tree(params)
-        from cs_vit_tpu.models.poser import sample_persp_dir_vec, sparse_corner_coords
-
-        if model.config.persp_embed_method == "dense":
-            dirs = sample_persp_dir_vec(
-                16, batch["square_bboxes"], batch["focal"], batch["princpt"]
-            )
-        else:
-            dirs = sparse_corner_coords(
-                batch["square_bboxes"], batch["focal"], batch["princpt"]
-            )
-        (pose_aa, shape, rtn), mut = model.apply(
-            {"params": p, "batch_stats": stats},
-            patches.astype(cdt) if cdt else patches,
-            batch["timestamp"], dirs,
-            phase="spatial",
-            rngs={"droppath": rng_},
-            mutable=["batch_stats"],
-            method=model.decode_pose,
-        )
-        stats32 = jax.tree.map(lambda x: x.astype(jnp.float32), mut["batch_stats"])
-        loss = (
-            jnp.sum(pose_aa.astype(jnp.float32) ** 2)
-            + jnp.sum(shape.astype(jnp.float32) ** 2)
-            + jnp.sum(rtn.astype(jnp.float32) ** 2)
-        ) / B
-        return loss, stats32
-
-    params0 = variables["params"]
-    stats0 = variables.get("batch_stats", {})
-    tx = build_optimizer(params0, "spatial", 1e-4)
-    state0 = TrainState.create({"params": params0, "batch_stats": stats0}, tx)
-
-    def tick_patches(tick):
-        return batch["patches"] + (tick * 1e-20).astype(batch["patches"].dtype)
-
-    # 1. forward only
-    def body_fwd(i, tick):
-        loss, _ = full_loss(
-            params0, stats0, tick_patches(tick), jax.random.fold_in(jax.random.key(0), i)
+        predict = {
+            "joint_cam": jc, "verts_cam": vc, "root_transl": rt,
+            "shape": shape,
+        }
+        loss, _ = model.apply(
+            {"params": params0, "batch_stats": stats0},
+            predict, batch, "spatial", method=model.criterion,
         )
         return loss
 
-    t = marginal(lambda i, s: body_fwd(i, s), jnp.zeros((), jnp.float32))
-    print(f"  fwd (full loss)            : {t*1e3:8.2f} ms")
+    gfk = jax.grad(fk_loss, argnums=(0, 1, 2))
 
-    # 2/3. fwd+bwd with/without FK+criterion
-    for name, lfn in (("no-FK loss", nofk_loss), ("full loss", full_loss)):
-        def body_grad(i, tick, lfn=lfn):
-            (loss, _), grads = jax.value_and_grad(lfn, has_aux=True)(
-                params0, stats0, tick_patches(tick),
-                jax.random.fold_in(jax.random.key(0), i),
+    def body_fk(i, carry):
+        tick = carry
+        g = gfk(
+            pose_aa0 + (tick * 1e-20).astype(pose_aa0.dtype), shape0, rtn0
+        )
+        return tick + sum(jnp.sum(x) for x in g) * 1e-20
+
+    t = marginal(body_fk, jnp.zeros((), jnp.float32))
+    print(f"  FK+criterion fwd+bwd         : {t*1e3:8.2f} ms")
+
+    # --- 4. decode tail (spatial encoder + decoders) fwd+bwd ------------
+    D = model.config.hidden_dim
+    patches0 = jnp.asarray(rng.random((B, 64, D), np.float32) * 0.1, jnp.bfloat16)
+    query0 = jnp.asarray(rng.random((B, 3, D), np.float32) * 0.1, jnp.bfloat16)
+
+    def tail(patches, query):
+        def run(m, p, q):
+            fused = m.spatial_encoder(q, p, train=False)
+            pose_q = fused[:, 0][:, None]
+            shape_q = fused[:, 1][:, None]
+            root_q = fused[:, 2][:, None]
+            pose6 = m.pose_decoder(pose_q)
+            sh = m.shape_decoder(shape_q)
+            rt = m.root_decoder(root_q)
+            return (
+                jnp.sum(pose6.astype(jnp.float32))
+                + jnp.sum(sh.astype(jnp.float32))
+                + jnp.sum(rt.astype(jnp.float32))
             )
-            acc = sum(
-                jnp.sum(g.astype(jnp.float32)) for g in jax.tree.leaves(grads)
-            )
-            return loss + acc * 1e-20
 
-        t = marginal(body_grad, jnp.zeros((), jnp.float32))
-        print(f"  fwd+bwd ({name:10s})      : {t*1e3:8.2f} ms")
-
-    # 4. full step (fwd+bwd+clip+masked AdamW)
-    def body_step(i, carry):
-        state, tick = carry
-        (loss, stats), grads = jax.value_and_grad(full_loss, has_aux=True)(
-            state.params, state.batch_stats, tick_patches(tick),
-            jax.random.fold_in(jax.random.key(0), i),
+        out, _ = model.apply(
+            {"params": params0, "batch_stats": stats0},
+            patches, query, method=run, mutable=["batch_stats"],
         )
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return (
-            state.replace(
-                params=new_params, opt_state=new_opt, batch_stats=stats,
-                step=state.step + 1,
-            ),
-            loss,
-        )
+        return out
 
-    t = marginal(body_step, (state0, jnp.zeros((), jnp.float32)))
-    print(f"  full step (fwd+bwd+AdamW)  : {t*1e3:8.2f} ms")
+    gtail = jax.grad(tail, argnums=(0, 1))
 
-    # 5. optimizer alone (grads = tiny constants; measures clip+AdamW+update)
-    zgrads = jax.tree.map(lambda x: (x * 1e-20).astype(x.dtype), params0)
+    def body_tail(i, tick):
+        g = gtail(patches0 + (tick * 1e-20).astype(patches0.dtype), query0)
+        return tick + sum(jnp.sum(x.astype(jnp.float32)) for x in g) * 1e-20
 
-    def body_opt(i, carry):
-        state, tick = carry
-        g = jax.tree.map(
-            lambda z: z + (tick * 1e-20).astype(z.dtype), zgrads
-        )
-        updates, new_opt = tx.update(g, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return (
-            state.replace(params=new_params, opt_state=new_opt, step=state.step + 1),
-            tick + 1.0,
-        )
-
-    t = marginal(body_opt, (state0, jnp.zeros((), jnp.float32)))
-    print(f"  optimizer only (clip+AdamW): {t*1e3:8.2f} ms")
+    t = marginal(body_tail, jnp.zeros((), jnp.float32))
+    print(f"  decode-tail fwd+bwd          : {t*1e3:8.2f} ms")
 
 
 if __name__ == "__main__":
