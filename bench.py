@@ -233,12 +233,21 @@ def bench_host(num_workers: int, batch: int = 16):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backbone", default="swinv2-base-256")
-    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
-    ap.add_argument("--temporal", action="store_true")
-    ap.add_argument("--train", action="store_true",
-                    help="also bench the spatial train step (fwd+bwd+opt)")
+    # train + temporal are on by default so a bare `python bench.py` emits
+    # the full picture (predict + train + temporal) in one JSON line.
+    ap.add_argument("--temporal", action=argparse.BooleanOptionalAction,
+                    default=True)
+    ap.add_argument("--train", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="bench the spatial train step (fwd+bwd+opt)")
+    ap.add_argument("--train-batch", type=int, default=64,
+                    help="train-step batch (fixed, not tied to --batch, so "
+                         "the measured operating point stays comparable)")
+    ap.add_argument("--temporal-batch", type=int, default=16,
+                    help="temporal clip batch (T=7)")
     ap.add_argument("--attn", default="fused",
                     choices=["xla", "pallas", "hybrid", "fused"],
                     help="fused = whole-block Pallas kernel (default; "
@@ -314,7 +323,7 @@ def main():
     }
 
     if args.train:
-        tb = args.batch // 2 or 1
+        tb = args.train_batch
         train_batch = {
             **make_batch(tb, 1, cfg.img_size, rng),
             "joint_cam": jnp.asarray(
@@ -337,7 +346,7 @@ def main():
         )
 
     if args.temporal:
-        tbatch = make_batch(max(args.batch // 8, 1), 7, cfg.img_size, rng)
+        tbatch = make_batch(args.temporal_batch, 7, cfg.img_size, rng)
         if dtype == jnp.bfloat16:
             tbatch = {**tbatch, "patches": tbatch["patches"].astype(dtype)}
         t_sec = bench_predict(model, params, batch_stats, tbatch, max(args.iters // 2, 3))
