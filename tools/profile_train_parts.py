@@ -83,32 +83,40 @@ def main():
     rng = np.random.default_rng(0)
 
     # --- 1. optimizer only ---------------------------------------------
+    # The loop carry is a single scalar: a loop-carried params+opt tree
+    # (~2800 while-loop buffers) is what the degraded remote compiler
+    # chokes on (>20 min / broken pipe). The full update still runs per
+    # iteration because the output scalar depends on every updated leaf.
     tx = build_optimizer(params0, "spatial", 1e-4)
     opt0 = tx.init(params0)
     grads0 = jax.tree.map(lambda x: x * 1e-3, params0)
 
-    def body_opt(i, carry):
-        params, opt, tick = carry
+    def body_opt(i, tick):
         g = jax.tree.map(lambda z: z + (tick * 1e-20).astype(z.dtype), grads0)
-        updates, opt = tx.update(g, opt, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt, tick + 1.0
+        updates, opt = tx.update(g, opt0, params0)
+        new_params = optax.apply_updates(params0, updates)
+        acc = sum(
+            jnp.sum(l.astype(jnp.float32))
+            for t_ in (new_params, opt)
+            for l in jax.tree.leaves(t_)
+            if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+        )
+        return tick + acc * 1e-20
 
-    t = marginal(body_opt, (params0, opt0, jnp.zeros((), jnp.float32)))
+    t = marginal(body_opt, jnp.zeros((), jnp.float32))
     print(f"  optimizer (clip+masked AdamW): {t*1e3:8.2f} ms")
 
     # --- 2. params f32 -> bf16 compute cast ----------------------------
-    def body_cast(i, carry):
-        params, tick = carry
+    def body_cast(i, tick):
         p = jax.tree.map(
             lambda x: (x + (tick * 1e-20).astype(x.dtype)).astype(jnp.bfloat16)
             if jnp.issubdtype(x.dtype, jnp.floating) else x,
-            params,
+            params0,
         )
         acc = sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(p))
-        return params, acc * 1e-20 + tick
+        return acc * 1e-20 + tick
 
-    t = marginal(body_cast, (params0, jnp.zeros((), jnp.float32)))
+    t = marginal(body_cast, jnp.zeros((), jnp.float32))
     print(f"  params f32->bf16 cast        : {t*1e3:8.2f} ms")
 
     # --- 3. FK + criterion fwd+bwd -------------------------------------
