@@ -31,14 +31,21 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def marginal(make_body, state0, iters=10):
+def marginal(make_body, state0, iters=10, consts=()):
     """Marginal per-iteration cost of a chained fori_loop body.
 
     The trip count is a traced argument so one compile serves both the
-    1-chain and the (iters+1)-chain.
+    1-chain and the (iters+1)-chain. Large trees the body needs must come
+    in via ``consts`` (jit arguments) — closing over them bakes them into
+    the HLO as constants (GBs shipped to the remote compile service).
+    ``make_body(i, carry, *consts)``.
     """
 
-    f = jax.jit(lambda s, n: jax.lax.fori_loop(0, n, make_body, s))
+    f = jax.jit(
+        lambda s, n, *c: jax.lax.fori_loop(
+            0, n, lambda i, t: make_body(i, t, *c), s
+        )
+    )
 
     def get(r):  # fetch the smallest leaf — big-array device_get through
         leaves = jax.tree.leaves(r)  # the tunnel would dominate the timing
@@ -46,15 +53,15 @@ def marginal(make_body, state0, iters=10):
 
     one = jnp.asarray(1, jnp.int32)
     k = jnp.asarray(iters + 1, jnp.int32)
-    get(f(state0, one))
-    get(f(state0, k))
+    get(f(state0, one, *consts))
+    get(f(state0, k, *consts))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        get(f(state0, one))
+        get(f(state0, one, *consts))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        get(f(state0, k))
+        get(f(state0, k, *consts))
         tk = time.perf_counter() - t0
         best = min(best, max(tk - t1, 1e-9) / iters)
     return best
@@ -91,10 +98,10 @@ def main():
     opt0 = tx.init(params0)
     grads0 = jax.tree.map(lambda x: x * 1e-3, params0)
 
-    def body_opt(i, tick):
-        g = jax.tree.map(lambda z: z + (tick * 1e-20).astype(z.dtype), grads0)
-        updates, opt = tx.update(g, opt0, params0)
-        new_params = optax.apply_updates(params0, updates)
+    def body_opt(i, tick, params, opt_in, grads):
+        g = jax.tree.map(lambda z: z + (tick * 1e-20).astype(z.dtype), grads)
+        updates, opt = tx.update(g, opt_in, params)
+        new_params = optax.apply_updates(params, updates)
         acc = sum(
             jnp.sum(l.astype(jnp.float32))
             for t_ in (new_params, opt)
@@ -103,20 +110,22 @@ def main():
         )
         return tick + acc * 1e-20
 
-    t = marginal(body_opt, jnp.zeros((), jnp.float32))
+    t = marginal(
+        body_opt, jnp.zeros((), jnp.float32), consts=(params0, opt0, grads0)
+    )
     print(f"  optimizer (clip+masked AdamW): {t*1e3:8.2f} ms")
 
     # --- 2. params f32 -> bf16 compute cast ----------------------------
-    def body_cast(i, tick):
+    def body_cast(i, tick, params):
         p = jax.tree.map(
             lambda x: (x + (tick * 1e-20).astype(x.dtype)).astype(jnp.bfloat16)
             if jnp.issubdtype(x.dtype, jnp.floating) else x,
-            params0,
+            params,
         )
         acc = sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(p))
         return acc * 1e-20 + tick
 
-    t = marginal(body_cast, jnp.zeros((), jnp.float32))
+    t = marginal(body_cast, jnp.zeros((), jnp.float32), consts=(params0,))
     print(f"  params f32->bf16 cast        : {t*1e3:8.2f} ms")
 
     # --- 3. FK + criterion fwd+bwd -------------------------------------
@@ -129,9 +138,9 @@ def main():
     shape0 = jnp.asarray(rng.random((B, 1, 10), np.float32) * 0.1)
     rtn0 = jnp.asarray(rng.random((B, 1, 3), np.float32) * 0.1)
 
-    def fk_loss(pose_aa, shape, rtn):
+    def fk_loss(pose_aa, shape, rtn, params):
         jc, vc, rt = model.apply(
-            {"params": params0, "batch_stats": stats0},
+            {"params": params, "batch_stats": stats0},
             pose_aa, shape, rtn, method=model.pose_fk,
         )
         predict = {
@@ -139,21 +148,21 @@ def main():
             "shape": shape,
         }
         loss, _ = model.apply(
-            {"params": params0, "batch_stats": stats0},
+            {"params": params, "batch_stats": stats0},
             predict, batch, "spatial", method=model.criterion,
         )
         return loss
 
     gfk = jax.grad(fk_loss, argnums=(0, 1, 2))
 
-    def body_fk(i, carry):
-        tick = carry
+    def body_fk(i, tick, params):
         g = gfk(
-            pose_aa0 + (tick * 1e-20).astype(pose_aa0.dtype), shape0, rtn0
+            pose_aa0 + (tick * 1e-20).astype(pose_aa0.dtype), shape0, rtn0,
+            params,
         )
         return tick + sum(jnp.sum(x) for x in g) * 1e-20
 
-    t = marginal(body_fk, jnp.zeros((), jnp.float32))
+    t = marginal(body_fk, jnp.zeros((), jnp.float32), consts=(params0,))
     print(f"  FK+criterion fwd+bwd         : {t*1e3:8.2f} ms")
 
     # --- 4. decode tail (spatial encoder + decoders) fwd+bwd ------------
@@ -161,7 +170,7 @@ def main():
     patches0 = jnp.asarray(rng.random((B, 64, D), np.float32) * 0.1, jnp.bfloat16)
     query0 = jnp.asarray(rng.random((B, 3, D), np.float32) * 0.1, jnp.bfloat16)
 
-    def tail(patches, query):
+    def tail(patches, query, params):
         def run(m, p, q):
             fused = m.spatial_encoder(q, p, train=False)
             pose_q = fused[:, 0][:, None]
@@ -177,18 +186,20 @@ def main():
             )
 
         out, _ = model.apply(
-            {"params": params0, "batch_stats": stats0},
+            {"params": params, "batch_stats": stats0},
             patches, query, method=run, mutable=["batch_stats"],
         )
         return out
 
     gtail = jax.grad(tail, argnums=(0, 1))
 
-    def body_tail(i, tick):
-        g = gtail(patches0 + (tick * 1e-20).astype(patches0.dtype), query0)
+    def body_tail(i, tick, params):
+        g = gtail(
+            patches0 + (tick * 1e-20).astype(patches0.dtype), query0, params
+        )
         return tick + sum(jnp.sum(x.astype(jnp.float32)) for x in g) * 1e-20
 
-    t = marginal(body_tail, jnp.zeros((), jnp.float32))
+    t = marginal(body_tail, jnp.zeros((), jnp.float32), consts=(params0,))
     print(f"  decode-tail fwd+bwd          : {t*1e3:8.2f} ms")
 
 
