@@ -70,6 +70,9 @@ def marginal(make_body, state0, iters=10, consts=()):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--fullgrad", action="store_true",
+                    help="also probe the full-model fwd+bwd (no optimizer) — "
+                         "a 20+ min remote compile on degraded nights")
     args = ap.parse_args()
 
     import optax
@@ -201,6 +204,55 @@ def main():
 
     t = marginal(body_tail, jnp.zeros((), jnp.float32), consts=(params0,))
     print(f"  decode-tail fwd+bwd          : {t*1e3:8.2f} ms")
+
+    # --- 5. full-model fwd+bwd, no optimizer (opt-in: slow compile) -----
+    if not args.fullgrad:
+        return
+
+    full_batch = {
+        **batch,
+        "patches": jnp.asarray(
+            rng.random((B, 1, 256, 256, 3), np.float32), jnp.bfloat16
+        ),
+        "square_bboxes": jnp.asarray(
+            np.tile(np.array([40.0, 40.0, 200.0, 200.0], np.float32), (B, 1, 1))
+        ),
+        "timestamp": jnp.zeros((B, 1), jnp.float32),
+        "focal": jnp.full((B, 1, 2), 500.0, jnp.float32),
+        "princpt": jnp.full((B, 1, 2), 128.0, jnp.float32),
+    }
+
+    def step_loss(params, patches, rng_):
+        p = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            params,
+        )
+        out, mut = model.apply(
+            {"params": p, "batch_stats": stats0},
+            {**full_batch, "patches": patches},
+            phase="spatial",
+            rngs={"droppath": rng_},
+            mutable=["batch_stats"],
+        )
+        return out["loss"].astype(jnp.float32)
+
+    gstep = jax.value_and_grad(step_loss)
+
+    def body_full(i, tick, params):
+        loss, grads = gstep(
+            params,
+            full_batch["patches"]
+            + (tick * 1e-20).astype(full_batch["patches"].dtype),
+            jax.random.fold_in(jax.random.key(0), i),
+        )
+        acc = sum(
+            jnp.sum(g.astype(jnp.float32)) for g in jax.tree.leaves(grads)
+        )
+        return tick + loss * 0.0 + acc * 1e-20
+
+    t = marginal(body_full, jnp.zeros((), jnp.float32), consts=(params0,))
+    print(f"  full fwd+bwd (no optimizer)  : {t*1e3:8.2f} ms")
 
 
 if __name__ == "__main__":
