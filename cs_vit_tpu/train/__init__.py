@@ -6,8 +6,10 @@ from .checkpoint import (  # noqa: F401
 )
 from .optim import (  # noqa: F401
     build_optimizer,
+    clip_by_global_norm_stateful,
     constant_schedule,
     gen_cosine_scheduler_array,
+    last_grad_norm,
     scaled_lr,
     warmup_cosine_schedule,
 )

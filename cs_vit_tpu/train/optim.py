@@ -12,13 +12,80 @@ Parity targets:
 from __future__ import annotations
 
 import math
-from typing import Callable, Dict
+from typing import Callable, Dict, NamedTuple, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 
 from ..models.poser import phase_trainable_mask
+
+
+class ClipByGlobalNormState(NamedTuple):
+    """State of :func:`clip_by_global_norm_stateful`: the last observed norm."""
+
+    grad_norm: jnp.ndarray
+
+
+def clip_by_global_norm_stateful(max_norm: float) -> optax.GradientTransformation:
+    """``optax.clip_by_global_norm`` that remembers the norm it computed.
+
+    Identical clipping math to optax (``lax.select`` per leaf on
+    ``g_norm < max_norm``), but the global norm — a full HBM pass over the
+    gradient tree — is stored in the transform state so the train step can
+    log it without a second ``optax.global_norm(grads)`` pass (the reference
+    logs ``torch.nn.utils.clip_grad_norm_``'s return value, i.e. this same
+    trainable-subset norm: `scripts/finetune.py:225`).
+    """
+
+    def init_fn(params):
+        del params
+        return ClipByGlobalNormState(jnp.zeros((), jnp.float32))
+
+    def update_fn(updates, state, params=None):
+        del params, state
+        g_norm = optax.global_norm(updates)
+        trigger = jnp.squeeze(g_norm < max_norm)
+
+        def clip_fn(t):
+            return jax.lax.select(
+                trigger, t, (t / g_norm.astype(t.dtype)) * max_norm
+            )
+
+        updates = jax.tree.map(clip_fn, updates)
+        return updates, ClipByGlobalNormState(g_norm.astype(jnp.float32))
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def last_grad_norm(opt_state) -> Optional[jnp.ndarray]:
+    """Extract the norm stashed by :func:`clip_by_global_norm_stateful`.
+
+    Walks the (possibly nested multi_transform/masked/chain) optimizer state
+    and returns the first ``ClipByGlobalNormState.grad_norm`` found, or
+    ``None`` if the optimizer has no stateful clip.
+    """
+    found = []
+
+    def rec(s):
+        if found:
+            return
+        if isinstance(s, ClipByGlobalNormState):
+            found.append(s.grad_norm)
+        elif isinstance(s, (tuple, list)):
+            for c in s:
+                rec(c)
+        elif isinstance(s, dict):
+            for c in s.values():
+                rec(c)
+        elif hasattr(s, "inner_state"):
+            rec(s.inner_state)
+        elif hasattr(s, "inner_states"):
+            rec(s.inner_states)
+
+    rec(opt_state)
+    return found[0] if found else None
 
 
 def scaled_lr(base_lr: float, world_size: int, batch_size: int) -> float:
@@ -92,7 +159,7 @@ def build_optimizer(
     mask = phase_trainable_mask(params, phase)
     labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
     inner = optax.chain(
-        optax.clip_by_global_norm(max_grad_norm),
+        clip_by_global_norm_stateful(max_grad_norm),
         optax.adamw(
             learning_rate=learning_rate,
             b1=0.9,

@@ -21,6 +21,7 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..parallel.mesh import DATA_AXIS
+from .optim import last_grad_norm
 from .state import TrainState
 
 
@@ -96,12 +97,27 @@ def make_train_step(
         def do_update(_):
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
-            return new_params, new_opt, new_stats
+            # The stateful clip already paid the full-tree norm pass; reuse it
+            # instead of a second optax.global_norm(grads) (ref logs the
+            # clip_grad_norm_ return value, `scripts/finetune.py:225`).
+            norm = last_grad_norm(new_opt)
+            if norm is None:  # tx without the stateful clip (tests)
+                norm = optax.global_norm(grads)
+            return new_params, new_opt, new_stats, norm
 
         def skip_update(_):
-            return state.params, state.opt_state, state.batch_stats
+            # Rare branch (non-finite loss): the clip never ran, compute the
+            # diagnostic norm here — only executed when the branch is taken.
+            return (
+                state.params,
+                state.opt_state,
+                state.batch_stats,
+                optax.global_norm(grads),
+            )
 
-        new_params, new_opt, stats = jax.lax.cond(finite, do_update, skip_update, None)
+        new_params, new_opt, stats, grad_norm = jax.lax.cond(
+            finite, do_update, skip_update, None
+        )
 
         new_state = state.replace(
             params=new_params,
@@ -109,7 +125,6 @@ def make_train_step(
             batch_stats=stats,
             step=state.step + finite.astype(jnp.int32),
         )
-        grad_norm = optax.global_norm(grads)
         metrics = {
             "loss": loss,
             "grad_norm": grad_norm,

@@ -318,3 +318,46 @@ def test_train_step_tensor_parallel_8dev(setup_train):
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             atol=3e-3, rtol=1e-2,
         )
+
+
+def test_stateful_clip_matches_optax():
+    """clip_by_global_norm_stateful ≡ optax.clip_by_global_norm, plus the
+    stored norm (the reference logs clip_grad_norm_'s return value,
+    ref `scripts/finetune.py:225`)."""
+    import optax
+
+    from cs_vit_tpu.train import clip_by_global_norm_stateful, last_grad_norm
+
+    rng = np.random.default_rng(3)
+    tree = {
+        "a": jnp.asarray(rng.normal(size=(7, 5)), jnp.float32),
+        "b": [jnp.asarray(rng.normal(size=(3,)), jnp.float32)],
+    }
+    for scale in (0.1, 100.0):  # below and above the threshold
+        grads = jax.tree.map(lambda g: g * scale, tree)
+        ref = optax.clip_by_global_norm(5.0)
+        ours = clip_by_global_norm_stateful(5.0)
+        ref_out, _ = ref.update(grads, ref.init(grads))
+        our_out, new_state = ours.update(grads, ours.init(grads))
+        for a, b in zip(jax.tree.leaves(ref_out), jax.tree.leaves(our_out)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(
+            float(new_state.grad_norm), float(optax.global_norm(grads)),
+            rtol=1e-6,
+        )
+
+
+def test_train_step_grad_norm_from_clip_state(setup_train):
+    """The logged grad_norm is the clip's trainable-subset norm — no second
+    full-tree optax.global_norm pass in the step."""
+    from cs_vit_tpu.models.poser import phase_trainable_mask
+
+    model, tx, state, batch = setup_train
+    step = make_train_step(model, tx, "spatial", donate=False)
+    new_state, metrics = step(state, batch, jax.random.key(0))
+    from cs_vit_tpu.train import last_grad_norm
+
+    stored = last_grad_norm(new_state.opt_state)
+    assert stored is not None
+    assert np.isclose(float(metrics["grad_norm"]), float(stored), rtol=1e-6)
+    assert float(metrics["grad_norm"]) > 0.0
