@@ -53,7 +53,7 @@ def timeit(fn, *args, iters=10):
     return best
 
 
-def profile_stage(cfg, stage, impl, batch, dtype):
+def profile_stage(cfg, stage, impl, batch, dtype, train=False):
     res = cfg.image_size // cfg.patch_size // (2 ** stage)
     dim = cfg.embed_dim * (2 ** stage)
     depth = cfg.depths[stage]
@@ -84,6 +84,28 @@ def profile_stage(cfg, stage, impl, batch, dtype):
         if jnp.issubdtype(v.dtype, jnp.floating) else v,
         m.init(jax.random.key(0), x)["params"],
     )
+    if train:
+        # fwd + dx + dw for this stage's block stack alone: attributes the
+        # train-step backward per stage (stage 3 is the XLA-remat path,
+        # _PALLAS_BWD_MAX_DIM in ops/fused_block.py).
+        def loss(xx, prm):
+            return jnp.sum(m.apply({"params": prm}, xx).astype(jnp.float32) ** 2)
+
+        vg = jax.value_and_grad(loss, argnums=(0, 1))
+
+        def fwdbwd(xx, prm):
+            l, (gx, gp) = vg(xx, prm)
+            return (
+                l
+                + jnp.sum(gx.astype(jnp.float32) ** 2)
+                + sum(
+                    jnp.sum(g.astype(jnp.float32) ** 2)
+                    for g in jax.tree.leaves(gp)
+                )
+            )
+
+        sec = timeit(fwdbwd, x, params)
+        return sec, depth
     sec = timeit(lambda xx: m.apply({"params": params}, xx), x)
     return sec, depth
 
@@ -249,6 +271,9 @@ def main():
                     help="split non-backbone predict cost (decode vs MANO FK)")
     ap.add_argument("--train", action="store_true",
                     help="time backbone fwd+bwd per impl instead of fwd-only")
+    ap.add_argument("--train-stages", action="store_true",
+                    help="per-stage fwd+dx+dw (attributes the backward per "
+                         "stage; stage 3 is the XLA-remat path)")
     ap.add_argument("--stages", type=int, nargs="+", default=None,
                     help="restrict per-stage profiling to these stage indices")
     args = ap.parse_args()
@@ -312,7 +337,9 @@ def main():
             continue
         row = [f"stage{stage} ({cfg.depths[stage]} blocks)"]
         for impl in args.impls:
-            sec, depth = profile_stage(cfg, stage, impl, args.batch, dtype)
+            sec, depth = profile_stage(
+                cfg, stage, impl, args.batch, dtype, train=args.train_stages
+            )
             totals[impl] += sec
             row.append(f"{impl}: {sec * 1e3:7.2f} ms ({sec * 1e3 / depth:.2f}/blk)")
         print("  " + " | ".join(row))
