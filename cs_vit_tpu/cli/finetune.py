@@ -104,7 +104,15 @@ def main(cfg: FinetuneConfig, ckpt_root: str = "./checkpoints", log_every: int =
             "step": state.step,
             "epoch": 0,
         }
-        restored = restore_checkpoint(latest, target=target)
+        # Restore raw + lenient merge rather than against the abstract target:
+        # the opt_state pytree structure can differ from the one the checkpoint
+        # was saved with (e.g. the stateful-clip grad_norm leaf), and a strict
+        # orbax restore would reject the whole checkpoint over it.
+        from ..train import merge_restored_tree
+
+        restored, fresh = merge_restored_tree(target, restore_checkpoint(latest))
+        if fresh:
+            print_(f"resume: {len(fresh)} opt/state leaves kept fresh (structure migration)")
         state = state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],

@@ -1,6 +1,7 @@
 from .checkpoint import (  # noqa: F401
     latest_checkpoint,
     merge_params,
+    merge_restored_tree,
     restore_checkpoint,
     save_checkpoint,
 )

@@ -68,3 +68,79 @@ def restore_checkpoint(path: str, target: Optional[Dict[str, Any]] = None) -> Di
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
         return _checkpointer().restore(path, item=abstract)
     return _checkpointer().restore(path)
+
+
+def _lookup_raw(node, key):
+    """Navigate one pytree-path step into a raw (dict-shaped) orbax restore.
+
+    Raw restores render NamedTuples/tuples as dicts keyed by field name /
+    stringified index, so each jax key type gets a couple of fallbacks.
+    Returns ``(found, child)``.
+    """
+    ku = jax.tree_util
+    if isinstance(key, ku.DictKey):
+        if isinstance(node, dict):
+            for k in (key.key, str(key.key)):
+                if k in node:
+                    return True, node[k]
+        return False, None
+    if isinstance(key, ku.SequenceKey):
+        if isinstance(node, (list, tuple)) and key.idx < len(node):
+            return True, node[key.idx]
+        if isinstance(node, dict):
+            for k in (key.idx, str(key.idx)):
+                if k in node:
+                    return True, node[k]
+        return False, None
+    if isinstance(key, (ku.GetAttrKey, ku.FlattenedIndexKey)):
+        name = key.name if isinstance(key, ku.GetAttrKey) else key.key
+        if isinstance(node, dict):
+            for k in (name, str(name)):
+                if k in node:
+                    return True, node[k]
+        if isinstance(name, str) and hasattr(node, name):
+            return True, getattr(node, name)
+        return False, None
+    return False, None
+
+
+def merge_restored_tree(target, raw) -> Tuple[Any, list]:
+    """strict=False merge of a raw orbax restore into an arbitrary pytree.
+
+    ``merge_params`` only handles plain dict trees; optimizer state is nested
+    NamedTuples (optax chains), whose *structure* can change across releases
+    of this codebase (e.g. the stateful grad-norm clip added a ``grad_norm``
+    leaf where optax's clip had ``EmptyState``). Restoring such a checkpoint
+    against the new abstract target would fail with an orbax tree mismatch,
+    so resume instead restores the checkpoint raw (dict-shaped) and walks the
+    *target* structure here: every target leaf whose path resolves in the raw
+    tree with a matching shape is adopted (cast to the target dtype); missing
+    or mismatched leaves keep the freshly-initialised target value. Mirrors
+    torch's ``load_state_dict(strict=False)`` semantics for the opt_state.
+
+    Returns ``(merged_tree, kept_fresh_paths)``.
+    """
+    import jax.numpy as jnp
+
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(target)
+    out, fresh = [], []
+    for path, leaf in paths_leaves:
+        node, ok = raw, True
+        for key in path:
+            ok, node = _lookup_raw(node, key)
+            if not ok:
+                break
+        adopt = (
+            ok
+            and isinstance(node, (np.ndarray, jax.Array, int, float, np.number))
+            and tuple(np.shape(node)) == tuple(np.shape(leaf))
+        )
+        if adopt:
+            if hasattr(leaf, "dtype"):
+                out.append(jnp.asarray(node).astype(leaf.dtype))
+            else:
+                out.append(type(leaf)(node) if leaf is not None else node)
+        else:
+            out.append(leaf)
+            fresh.append(jax.tree_util.keystr(path))
+    return jax.tree_util.tree_unflatten(treedef, out), fresh

@@ -34,9 +34,16 @@ def clip_by_global_norm_stateful(max_norm: float) -> optax.GradientTransformatio
     Identical clipping math to optax (``lax.select`` per leaf on
     ``g_norm < max_norm``), but the global norm — a full HBM pass over the
     gradient tree — is stored in the transform state so the train step can
-    log it without a second ``optax.global_norm(grads)`` pass (the reference
-    logs ``torch.nn.utils.clip_grad_norm_``'s return value, i.e. this same
-    trainable-subset norm: `scripts/finetune.py:225`).
+    log it without a second ``optax.global_norm(grads)`` pass.
+
+    Logged-metric note: this is the *pre-clip trainable-subset* grad norm (what
+    ``clip_grad_norm_`` returns at ref `scripts/finetune.py:225`), chosen
+    deliberately. The reference *discards* that return value and instead logs
+    ``calculate_gradient_norm()`` at `finetune.py:263` — which runs after
+    ``zero_grad(set_to_none=True)`` (so it sees no grads) and scales by ``*0.5``
+    instead of a sqrt (`cs_vit/utils/tensor.py:10`); that buggy value is not
+    replicated (the quirky scaling itself lives behind
+    ``utils.misc.calculate_gradient_norm(compat=True)`` for anyone who wants it).
     """
 
     def init_fn(params):

@@ -98,8 +98,9 @@ def make_train_step(
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             # The stateful clip already paid the full-tree norm pass; reuse it
-            # instead of a second optax.global_norm(grads) (ref logs the
-            # clip_grad_norm_ return value, `scripts/finetune.py:225`).
+            # instead of a second optax.global_norm(grads). This is the
+            # pre-clip trainable-subset norm (see optim.py docstring for why
+            # the reference's own logged value is not replicated).
             norm = last_grad_norm(new_opt)
             if norm is None:  # tx without the stateful clip (tests)
                 norm = optax.global_norm(grads)
@@ -107,12 +108,23 @@ def make_train_step(
 
         def skip_update(_):
             # Rare branch (non-finite loss): the clip never ran, compute the
-            # diagnostic norm here — only executed when the branch is taken.
+            # diagnostic norm here — over the same trainable subset as
+            # do_update's so the grad_norm metric keeps one meaning across
+            # skipped and accepted steps.
+            from ..models.poser import phase_trainable_mask
+
+            try:
+                mask = phase_trainable_mask(grads, phase)
+                trainable = jax.tree.map(
+                    lambda g, m: g if m else jnp.zeros_like(g), grads, mask
+                )
+            except Exception:  # non-Poser param trees (tests)
+                trainable = grads
             return (
                 state.params,
                 state.opt_state,
                 state.batch_stats,
-                optax.global_norm(grads),
+                optax.global_norm(trainable),
             )
 
         new_params, new_opt, stats, grad_norm = jax.lax.cond(

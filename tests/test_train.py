@@ -350,8 +350,6 @@ def test_stateful_clip_matches_optax():
 def test_train_step_grad_norm_from_clip_state(setup_train):
     """The logged grad_norm is the clip's trainable-subset norm — no second
     full-tree optax.global_norm pass in the step."""
-    from cs_vit_tpu.models.poser import phase_trainable_mask
-
     model, tx, state, batch = setup_train
     step = make_train_step(model, tx, "spatial", donate=False)
     new_state, metrics = step(state, batch, jax.random.key(0))
@@ -361,3 +359,83 @@ def test_train_step_grad_norm_from_clip_state(setup_train):
     assert stored is not None
     assert np.isclose(float(metrics["grad_norm"]), float(stored), rtol=1e-6)
     assert float(metrics["grad_norm"]) > 0.0
+
+
+def test_opt_state_resume_migration(tmp_path, setup_train):
+    """Checkpoints saved before the stateful clip (plain optax.clip_by_global_norm,
+    EmptyState — no grad_norm leaf) must still resume: merge_restored_tree walks
+    the new opt_state structure over the raw restore and injects the fresh
+    grad_norm leaf while adopting every Adam moment (ADVICE r2 medium)."""
+    import optax
+
+    from cs_vit_tpu.models.poser import phase_trainable_mask
+    from cs_vit_tpu.train import merge_restored_tree
+
+    model, tx, state, batch = setup_train
+
+    # old-style optimizer: same chain but with optax's stateless clip
+    mask = phase_trainable_mask(state.params, "spatial")
+    labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
+    old_tx = optax.multi_transform(
+        {
+            "train": optax.chain(
+                optax.clip_by_global_norm(5.0),
+                optax.adamw(1e-3, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01),
+            ),
+            "freeze": optax.set_to_zero(),
+        },
+        labels,
+    )
+    old_state = TrainState.create(
+        {"params": state.params, "batch_stats": state.batch_stats}, old_tx
+    )
+    # take one real step so Adam moments are non-trivial
+    old_step = make_train_step(model, old_tx, "spatial", donate=False)
+    old_state, _ = old_step(old_state, batch, jax.random.key(7))
+
+    payload = {
+        "params": jax.device_get(old_state.params),
+        "batch_stats": jax.device_get(old_state.batch_stats),
+        "opt_state": jax.device_get(old_state.opt_state),
+        "step": jax.device_get(old_state.step),
+        "epoch": 5,
+    }
+    save_checkpoint(str(tmp_path), 5, payload)
+
+    # new-style resume target (stateful clip adds the grad_norm leaf)
+    target = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "epoch": 0,
+    }
+    raw = restore_checkpoint(str(tmp_path / "checkpoint"))
+    merged, fresh = merge_restored_tree(target, raw)
+
+    assert int(merged["epoch"]) == 5
+    assert int(merged["step"]) == 1
+    # every fresh (non-adopted) leaf is the migration-injected clip state
+    assert fresh and all("grad_norm" in p for p in fresh), fresh
+    # Adam moments were adopted, not re-initialised
+    old_leaves = {p: l for p, l in jax.tree_util.tree_flatten_with_path(
+        jax.device_get(old_state.opt_state))[0]}
+    new_leaves = jax.tree_util.tree_flatten_with_path(merged["opt_state"])[0]
+    adopted = 0
+    for p, l in new_leaves:
+        key = p
+        if key in old_leaves and np.shape(old_leaves[key]) == np.shape(l):
+            np.testing.assert_allclose(
+                np.asarray(l, np.float64), np.asarray(old_leaves[key], np.float64),
+                rtol=1e-6,
+            )
+            adopted += 1
+    assert adopted > 0
+
+    # and the merged state is usable: one more step with the NEW tx runs
+    resumed = TrainState.create(
+        {"params": merged["params"], "batch_stats": merged["batch_stats"]}, tx
+    ).replace(opt_state=merged["opt_state"], step=merged["step"])
+    new_step = make_train_step(model, tx, "spatial", donate=False)
+    resumed, metrics = new_step(resumed, batch, jax.random.key(8))
+    assert np.isfinite(float(metrics["loss"]))
