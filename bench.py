@@ -233,7 +233,10 @@ def bench_host(num_workers: int, batch: int = 16):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backbone", default="swinv2-base-256")
-    ap.add_argument("--batch", type=int, default=128)
+    # 256 is the measured single-chip optimum (BASELINE.md round-2 sweep:
+    # 2025.7 crops/s @256 vs 1978.6 @128); the driver runs a bare bench.py,
+    # so the default IS the recorded operating point.
+    ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     # train + temporal are on by default so a bare `python bench.py` emits
@@ -246,6 +249,13 @@ def main():
     ap.add_argument("--train-batch", type=int, default=64,
                     help="train-step batch (fixed, not tied to --batch, so "
                          "the measured operating point stays comparable)")
+    ap.add_argument("--train-temporal", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="bench the temporal-phase train step (T=7 full "
+                         "supervision incl. smoothness loss; backbone frozen "
+                         "+ stop-gradient as in training)")
+    ap.add_argument("--train-temporal-batch", type=int, default=8,
+                    help="temporal train clip batch (T=7)")
     ap.add_argument("--temporal-batch", type=int, default=16,
                     help="temporal clip batch (T=7)")
     ap.add_argument("--attn", default="fused",
@@ -255,7 +265,22 @@ def main():
     ap.add_argument("--host", action="store_true",
                     help="bench the host data pipeline only (no TPU needed)")
     ap.add_argument("--host_workers", type=int, default=8)
+    ap.add_argument("--overlap", action="store_true",
+                    help="run the end-to-end loader->prefetch->step overlap "
+                         "probe (tools/probe_pipeline.py) for train+eval and "
+                         "exit (prints one JSON line per mode)")
     args = ap.parse_args()
+
+    if args.overlap:
+        import os
+        import subprocess
+        import sys
+
+        probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tools", "probe_pipeline.py")
+        for mode in ("train", "eval"):
+            subprocess.run([sys.executable, probe, "--mode", mode], check=True)
+        return
 
     if args.host:
         host = bench_host(args.host_workers)
@@ -344,6 +369,28 @@ def main():
         extra["train_mfu"] = round(
             3.0 * (tb / t_train) * flops_crop / V5E_PEAK_BF16_FLOPS, 4
         )
+
+    if args.train_temporal:
+        ttb, T = args.train_temporal_batch, 7
+        tt_batch = {
+            **make_batch(ttb, T, cfg.img_size, rng),
+            "joint_cam": jnp.asarray(
+                rng.normal(scale=20, size=(ttb, T, 21, 3)) + [0, 0, 400], jnp.float32
+            ),
+            "joint_valid": jnp.ones((ttb, T, 21), jnp.float32),
+            "mano_shape": jnp.zeros((ttb, T, 10), jnp.float32),
+        }
+        t_tt = bench_train(
+            model, variables, tt_batch, max(args.iters // 2, 3),
+            phase="temporal",
+            compute_dtype=dtype if dtype == jnp.bfloat16 else None,
+        )
+        print(
+            f"# temporal train step (full supervision, T={T}, clip batch {ttb}): "
+            f"{ttb / t_tt:.2f} clips/s ({ttb * T / t_tt:.1f} frames/s)"
+        )
+        extra["train_temporal_clips_per_sec"] = round(ttb / t_tt, 2)
+        extra["train_temporal_batch"] = ttb
 
     if args.temporal:
         tbatch = make_batch(args.temporal_batch, 7, cfg.img_size, rng)

@@ -166,11 +166,20 @@ class SpatialEncoder(nn.Module):
                 )(y, ctx, train=train)
             return y
         else:
-            y = pe(jnp.concatenate([x, ctx], axis=1))
+            # Reference quirk (`ti_poser.py:95-97`): the loop writes `x_embeb`
+            # but keeps reading `x_embed`, so the encoder layers do NOT chain —
+            # every layer consumes the same PE'd input and only the LAST
+            # layer's output is returned. Checkpoints trained with
+            # layer_type='encoder' bake this in (earlier layers receive no
+            # gradient and stay at init), so it is replicated: all layers
+            # still run (their BatchNorm statistics update in train mode,
+            # exactly as in torch), but only the last output survives.
+            y0 = pe(jnp.concatenate([x, ctx], axis=1))
+            y = y0
             for i in range(self.num_layer):
                 y = EncoderBlock(
                     self.embed_dim, self.num_heads, self.compat_scale, name=f"layer{i}"
-                )(y, train=train)
+                )(y0, train=train)
             return y[:, : x.shape[1]]
 
 

@@ -147,3 +147,74 @@ def test_packaged_sh_regressor_asset():
     reg = np.load(path)
     assert reg.shape == (21, 778)
     np.testing.assert_allclose(reg.sum(axis=1), 1.0, atol=1e-4)
+
+
+def test_sh_regressor_matches_reference_assembly():
+    """Run the ACTUAL reference regressor assembly (`cs_vit/utils/mano.py:
+    149-171` via a stubbed smplx carrying the same synthetic J_regressor) and
+    assert our `sh_joint_regressor` reproduces it row-for-row — same
+    fingertip one-hot rows (745/317/445/556/673), same name-based reorder,
+    same TARGET order."""
+    import os
+
+    import pytest
+
+    if not os.path.isdir("/root/reference/cs_vit"):
+        pytest.skip("reference not mounted")
+    pytest.importorskip("torch")
+
+    from .helpers import _REF_STUB_ASSETS, import_reference
+
+    ref_mano_mod = import_reference("utils.mano")
+    ref = ref_mano_mod.MANO()
+
+    ours = sh_joint_regressor(_REF_STUB_ASSETS[True])
+    theirs = np.asarray(ref.sh_joint_regressor, np.float32)
+
+    from cs_vit_tpu.constants import TARGET_JOINTS_ORDER
+
+    assert tuple(ref.sh_joints_name) == tuple(TARGET_JOINTS_ORDER)
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+    # and the reference's 20-bone skeleton == our TARGET_JOINTS_CONNECTION
+    # (as edge sets: `utils/mano.py:124-145` lists per-finger chains in a
+    # different order than `constants.py:96`, and every consumer —
+    # mean_connection_length — is order-invariant)
+    from cs_vit_tpu.constants import TARGET_JOINTS_CONNECTION
+
+    assert set(map(tuple, ref.sh_skeleton)) == set(
+        map(tuple, TARGET_JOINTS_CONNECTION)
+    )
+
+
+def test_mano_golden_fixture():
+    """Real-MANO golden outputs (generated by tools/mano_golden.py on a
+    machine with the licensed pickle; see README 'MANO assets'). Skipped when
+    the fixture or the pickle is absent — this environment ships neither."""
+    import os
+
+    import pytest
+
+    fixture = os.environ.get(
+        "MANO_GOLDEN",
+        os.path.join(os.path.dirname(__file__), "fixtures", "mano_golden.npz"),
+    )
+    if not os.path.isfile(fixture):
+        pytest.skip("no MANO golden fixture (run tools/mano_golden.py)")
+    from cs_vit_tpu.mano import ManoLayer, find_and_load
+
+    try:
+        real = find_and_load(None, is_rhand=True, allow_synthetic=False)
+    except FileNotFoundError:
+        pytest.skip("MANO_MODEL_DIR not set / pickle absent")
+
+    data = np.load(fixture)
+    layer = ManoLayer(real, flat_hand_mean=False)
+    out = layer(
+        jnp.asarray(data["betas"]),
+        jnp.asarray(data["global_orient"]),
+        jnp.asarray(data["hand_pose"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["vertices"]), data["vertices"], atol=1e-5
+    )
