@@ -348,63 +348,76 @@ def main():
     }
 
     if args.train:
-        tb = args.train_batch
-        train_batch = {
-            **make_batch(tb, 1, cfg.img_size, rng),
-            "joint_cam": jnp.asarray(
-                rng.normal(scale=20, size=(tb, 1, 21, 3)) + [0, 0, 400], jnp.float32
-            ),
-            "joint_valid": jnp.ones((tb, 1, 21), jnp.float32),
-            "mano_shape": jnp.zeros((tb, 1, 10), jnp.float32),
-        }
-        t_train = bench_train(
-            model, variables, train_batch, max(args.iters // 2, 3),
-            compute_dtype=dtype if dtype == jnp.bfloat16 else None,
-        )
-        label = "bf16" if dtype == jnp.bfloat16 else "f32"
-        print(f"# train step (spatial, {label}, batch {tb}): {tb / t_train:.1f} crops/s")
-        extra["train_crops_per_sec"] = round(tb / t_train, 2)
-        extra["train_batch"] = tb
-        # fwd + bwd ~ 3x forward FLOPs for the trained backbone
-        extra["train_mfu"] = round(
-            3.0 * (tb / t_train) * flops_crop / V5E_PEAK_BF16_FLOPS, 4
-        )
+        try:
+            tb = args.train_batch
+            train_batch = {
+                **make_batch(tb, 1, cfg.img_size, rng),
+                "joint_cam": jnp.asarray(
+                    rng.normal(scale=20, size=(tb, 1, 21, 3)) + [0, 0, 400], jnp.float32
+                ),
+                "joint_valid": jnp.ones((tb, 1, 21), jnp.float32),
+                "mano_shape": jnp.zeros((tb, 1, 10), jnp.float32),
+            }
+            t_train = bench_train(
+                model, variables, train_batch, max(args.iters // 2, 3),
+                compute_dtype=dtype if dtype == jnp.bfloat16 else None,
+            )
+            label = "bf16" if dtype == jnp.bfloat16 else "f32"
+            print(f"# train step (spatial, {label}, batch {tb}): {tb / t_train:.1f} crops/s")
+            extra["train_crops_per_sec"] = round(tb / t_train, 2)
+            extra["train_batch"] = tb
+            # fwd + bwd ~ 3x forward FLOPs for the trained backbone
+            extra["train_mfu"] = round(
+                3.0 * (tb / t_train) * flops_crop / V5E_PEAK_BF16_FLOPS, 4
+            )
+        except Exception as e:  # pragma: no cover - environment-dependent
+            # the ONE required JSON line (spatial predict) must still land
+            print(f"# train bench failed ({type(e).__name__}: {e})")
+            extra["train_error"] = f"{type(e).__name__}: {e}"[:200]
 
     if args.train_temporal:
-        ttb, T = args.train_temporal_batch, 7
-        tt_batch = {
-            **make_batch(ttb, T, cfg.img_size, rng),
-            "joint_cam": jnp.asarray(
-                rng.normal(scale=20, size=(ttb, T, 21, 3)) + [0, 0, 400], jnp.float32
-            ),
-            "joint_valid": jnp.ones((ttb, T, 21), jnp.float32),
-            "mano_shape": jnp.zeros((ttb, T, 10), jnp.float32),
-        }
-        t_tt = bench_train(
-            model, variables, tt_batch, max(args.iters // 2, 3),
-            phase="temporal",
-            compute_dtype=dtype if dtype == jnp.bfloat16 else None,
-        )
-        print(
-            f"# temporal train step (full supervision, T={T}, clip batch {ttb}): "
-            f"{ttb / t_tt:.2f} clips/s ({ttb * T / t_tt:.1f} frames/s)"
-        )
-        extra["train_temporal_clips_per_sec"] = round(ttb / t_tt, 2)
-        extra["train_temporal_batch"] = ttb
+        try:
+            ttb, T = args.train_temporal_batch, 7
+            tt_batch = {
+                **make_batch(ttb, T, cfg.img_size, rng),
+                "joint_cam": jnp.asarray(
+                    rng.normal(scale=20, size=(ttb, T, 21, 3)) + [0, 0, 400], jnp.float32
+                ),
+                "joint_valid": jnp.ones((ttb, T, 21), jnp.float32),
+                "mano_shape": jnp.zeros((ttb, T, 10), jnp.float32),
+            }
+            t_tt = bench_train(
+                model, variables, tt_batch, max(args.iters // 2, 3),
+                phase="temporal",
+                compute_dtype=dtype if dtype == jnp.bfloat16 else None,
+            )
+            print(
+                f"# temporal train step (full supervision, T={T}, clip batch {ttb}): "
+                f"{ttb / t_tt:.2f} clips/s ({ttb * T / t_tt:.1f} frames/s)"
+            )
+            extra["train_temporal_clips_per_sec"] = round(ttb / t_tt, 2)
+            extra["train_temporal_batch"] = ttb
+        except Exception as e:  # pragma: no cover - environment-dependent
+            print(f"# temporal train bench failed ({type(e).__name__}: {e})")
+            extra["train_temporal_error"] = f"{type(e).__name__}: {e}"[:200]
 
     if args.temporal:
-        tbatch = make_batch(args.temporal_batch, 7, cfg.img_size, rng)
-        if dtype == jnp.bfloat16:
-            tbatch = {**tbatch, "patches": tbatch["patches"].astype(dtype)}
-        t_sec = bench_predict(model, params, batch_stats, tbatch, max(args.iters // 2, 3))
-        print(
-            f"# temporal T=7 clips/s: {tbatch['patches'].shape[0] / t_sec:.2f}"
-            f" ({tbatch['patches'].shape[0] * 7 / t_sec:.1f} frames/s)"
-        )
-        extra["temporal_clips_per_sec"] = round(tbatch["patches"].shape[0] / t_sec, 2)
-        extra["temporal_frames_per_sec"] = round(
-            tbatch["patches"].shape[0] * 7 / t_sec, 1
-        )
+        try:
+            tbatch = make_batch(args.temporal_batch, 7, cfg.img_size, rng)
+            if dtype == jnp.bfloat16:
+                tbatch = {**tbatch, "patches": tbatch["patches"].astype(dtype)}
+            t_sec = bench_predict(model, params, batch_stats, tbatch, max(args.iters // 2, 3))
+            print(
+                f"# temporal T=7 clips/s: {tbatch['patches'].shape[0] / t_sec:.2f}"
+                f" ({tbatch['patches'].shape[0] * 7 / t_sec:.1f} frames/s)"
+            )
+            extra["temporal_clips_per_sec"] = round(tbatch["patches"].shape[0] / t_sec, 2)
+            extra["temporal_frames_per_sec"] = round(
+                tbatch["patches"].shape[0] * 7 / t_sec, 1
+            )
+        except Exception as e:  # pragma: no cover - environment-dependent
+            print(f"# temporal bench failed ({type(e).__name__}: {e})")
+            extra["temporal_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(
         json.dumps(

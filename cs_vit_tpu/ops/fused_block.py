@@ -45,6 +45,16 @@ import os
 # "noattn" short-circuits attention to v (GEMM/LN path only). Both break
 # numerics -- measurement only.
 _VARIANT = os.environ.get("FUSED_BLOCK_VARIANT", "")
+# Opt-in: run the fwd kernel's [gs*L, L] score/softmax passes in the compute
+# dtype instead of f32 for 16-bit compute. Measured error budget (round 3,
+# tests/test_fused_block.py::test_fused_block_bf16_softmax_budget): ~2.9x the
+# bf16 noise floor of the surrounding GEMMs (max ~3.4% of output scale at
+# init-scale logits, growing with the learned logit scale toward its 100
+# clamp) because the static-shift moves logits to large magnitudes where
+# bf16's relative rounding is a large absolute exponent error. Off by
+# default to preserve checkpoint-inference fidelity; flip on for pure
+# throughput (TPU A/B in BASELINE.md round 3).
+_BF16_SOFTMAX = bool(int(os.environ.get("FUSED_BLOCK_BF16_SOFTMAX", "0")))
 from typing import Optional
 
 import jax
@@ -209,6 +219,17 @@ def _block_body(
     ridx = jax.lax.broadcasted_iota(jnp.int32, (gs * L, GG), 0) // L
     cidx2 = jax.lax.broadcasted_iota(jnp.int32, (gs * L, GG), 1) % gs
     ones_dt = jnp.ones((L, GG), dt)  # MXU softmax-denominator operand
+    # low-precision score dtype: for 16-bit compute the [gs*L, L] score/
+    # softmax passes (the kernel's VPU bottleneck — BASELINE.md "Forward-
+    # kernel anatomy") run in dt instead of f32, halving their VMEM traffic.
+    # Error budget: the static-shift softmax keeps every exponent <= 0; a
+    # bf16 score rounds s by <= 2^-9 relative, so a weight e^s moves by
+    # <= |s|*2^-9 relative — the dominant (near-0) logits are near-exact and
+    # tiny logits carry no mass. Measured end-to-end (tests/test_fused_block
+    # ::test_fused_block_bf16_softmax_budget + BASELINE.md round 3): within
+    # the bf16 noise the e@v dot already had. f32 compute is unchanged.
+    st = (dt if jnp.dtype(dt).itemsize <= 2 and not _VARIANT
+          and _BF16_SOFTMAX else f32)
 
     for r in range(RR):
         for j in range(nWj):
@@ -241,7 +262,7 @@ def _block_body(
                 qbd = jnp.where(ridx == cidx2, qbd, jnp.zeros((), dt))
                 s = jax.lax.dot_general(
                     qbd, kn, (((1,), (1,)), ((), ())),
-                    preferred_element_type=f32,
+                    preferred_element_type=st,
                 )                                          # [gs*L, L]
                 # Static-shift softmax: relb_ref arrives pre-shifted by the
                 # per-head logit bound tau_h = scale_h + 16 (cosine scores
@@ -253,11 +274,11 @@ def _block_body(
                 # if ALL its logits sit > 88 below the bound (needs a learned
                 # scale near the 100 clamp AND every cosine far from 1);
                 # the +1e-30 keeps that case finite (output ~0, not NaN).
-                s = s + relb_ref[g].astype(f32)
+                s = s + relb_ref[g].astype(st)
                 if mask_ref is not None:
                     s = (
                         s.reshape(gs, L, L)
-                        + mask_ref[r * nWj + j][None].astype(f32)
+                        + mask_ref[r * nWj + j][None].astype(st)
                     ).reshape(gs * L, L)
                 if _VARIANT == "noexp":
                     e = (s * 0.01 + 1.0).astype(dt)
@@ -654,19 +675,22 @@ def _bwd_kernel(
                 qbs.append(qb)
                 kbs.append(kb)
                 vbs.append(vb)
-            qkvb_w = jnp.concatenate(qbs + kbs + vbs, axis=-1)  # [L, 3C]
+            qkvb_w = jnp.concatenate(qbs + kbs + vbs, axis=-1)  # [L, 3C] f32
+            # bias grad accumulates per window in f32 (the slab scratch is dt
+            # — its only other consumers are dt GEMM operands anyway, so the
+            # halved scratch changes nothing but this sum's association)
+            dbqkv_ref[...] += jnp.sum(qkvb_w, axis=0, keepdims=True)
             qkvb_s[
                 r * ws:(r + 1) * ws, j * ws:(j + 1) * ws, :
-            ] = qkvb_w.reshape(ws, ws, 3 * C)
+            ] = qkvb_w.astype(dt).reshape(ws, ws, 3 * C)
 
     qkvb = qkvb_s[...].reshape(S_tok, 3 * C)
     dwqkv_ref[...] += jax.lax.dot_general(
-        xs, qkvb.astype(dt), (((0,), (0,)), ((), ())),
+        xs, qkvb, (((0,), (0,)), ((), ())),
         preferred_element_type=f32,
     )
-    dbqkv_ref[...] += jnp.sum(qkvb, axis=0, keepdims=True)
     xb = h1b + jax.lax.dot_general(
-        qkvb.astype(dt), wqkv_ref[:], (((1,), (1,)), ((), ())),
+        qkvb, wqkv_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=f32,
     )
     if shift:
@@ -743,6 +767,13 @@ def _pallas_forward(
     # cosine scores satisfy s <= scale_h and the bias itself is < 16
     tau = logit_scale.reshape(num_heads, 1, 1).astype(jnp.float32) + 16.0
     relb_g = (rel_bias.astype(jnp.float32) - tau).reshape(G, gs * L, L)
+    lowp = (jnp.dtype(x.dtype).itemsize <= 2 and not _VARIANT
+            and _BF16_SOFTMAX)
+    if lowp:
+        # 16-bit compute: the kernel's score/softmax passes run in dt (see
+        # _block_body), so ship the pre-shifted CPB bias (and mask below)
+        # already rounded — halves their VMEM residency as well
+        relb_g = relb_g.astype(x.dtype)
     # interleaved lane i <-> head i % gs: scale pattern tiles the group's
     # gs per-head scales hd times
     scale_row = jnp.tile(
@@ -782,7 +813,7 @@ def _pallas_forward(
                 (RR * nWj, L, L), lambda b, i: (i, 0, 0), memory_space=pltpu.VMEM
             )
         )
-        operands.append(mask)
+        operands.append(mask.astype(x.dtype) if lowp else mask)
         kernel = functools.partial(_block_kernel, **kw)
     else:
         def kernel(*refs):
@@ -927,7 +958,12 @@ def _pallas_backward(
     single = nH == 1 and nWj == 1
     assert not (single and shift), "single-window blocks never shift"
     if single:
-        cap = min(max(1, 1024 // L), max(1, 32 // G))
+        # C=1024 (Swin-B stage 3): the f32 dw accumulators (48 MB) + bf16
+        # weights (24 MB) leave little of the 127 MB VMEM budget for slab
+        # scratches, so shrink to one image per program — stage 3 is 2 of
+        # 24 blocks, GEMM-efficiency there is not the step's bottleneck
+        tok = 1024 if C <= 512 else L
+        cap = min(max(1, tok // L), max(1, 32 // G))
         RR = _largest_divisor_leq(B, cap)
         grid = (B // RR, 1)
         x_spec = pl.BlockSpec(
@@ -1044,7 +1080,7 @@ def _pallas_backward(
             pltpu.VMEM((S_tok, Ch), x.dtype),             # m1
             pltpu.VMEM((S_tok, Ch), x.dtype),             # gelu(m1)
             pltpu.VMEM((S_tok, C), f32),                  # m2
-            pltpu.VMEM((RR * ws, Wb, 3 * C), f32),        # qkv grad slab
+            pltpu.VMEM((RR * ws, Wb, 3 * C), x.dtype),    # qkv grad slab
         ],
         interpret=interpret,
         # grad accumulation across grid steps requires sequential revisiting
@@ -1088,10 +1124,16 @@ def _pallas_backward(
 
 # Pallas bwd VMEM budget: f32 weight-grad accumulators + dt weights + slab
 # scratches must fit in ~127 MB. C=1024 (Swin-B stage 3) measured 133.7 MB
-# scoped VMEM inside the full train program (48 MB dw accumulators + 24 MB
-# bf16 weights + slab scratches + pipeline buffers) and OOMs the compiler,
-# so it stays on the XLA-remat path (2 blocks, ~2 ms of the step).
-_PALLAS_BWD_MAX_DIM = 512
+# scoped VMEM at 4 images/slab (48 MB dw accumulators + 24 MB bf16 weights
+# + slab scratches + pipeline buffers) and OOMed the compiler; the one-image
+# slab + dt qkv-grad scratch above DOES fit, but the resulting per-image
+# GEMMs (64 tokens x 1024) are too small for the MXU: measured on TPU
+# (round 3, `FUSED_BLOCK_BWD_MAX_DIM=1024 tools/profile_stages.py --batch 64
+# --impls fused xla --train-stages --stages 3`) the fused stage-3 fwd+bwd
+# runs 9.20 ms vs 6.59 ms on the XLA-remat path, so C=1024 deliberately
+# stays on XLA (2 of 24 blocks). Env override kept for re-probing on future
+# hardware with bigger VMEM (where multi-image slabs would fit).
+_PALLAS_BWD_MAX_DIM = int(os.environ.get("FUSED_BLOCK_BWD_MAX_DIM", "512"))
 
 
 def _fused_block_bwd(static, residuals, g):
