@@ -676,21 +676,29 @@ def _bwd_kernel(
                 kbs.append(kb)
                 vbs.append(vb)
             qkvb_w = jnp.concatenate(qbs + kbs + vbs, axis=-1)  # [L, 3C] f32
-            # bias grad accumulates per window in f32 (the slab scratch is dt
-            # — its only other consumers are dt GEMM operands anyway, so the
-            # halved scratch changes nothing but this sum's association)
-            dbqkv_ref[...] += jnp.sum(qkvb_w, axis=0, keepdims=True)
+            if qkvb_s.dtype != f32:
+                # dt slab (C>512 fit mode): bias grad accumulates per window
+                # in f32 — the halved scratch changes only this sum's
+                # association (the slab's other consumers are dt GEMM
+                # operands anyway)
+                dbqkv_ref[...] += jnp.sum(qkvb_w, axis=0, keepdims=True)
             qkvb_s[
                 r * ws:(r + 1) * ws, j * ws:(j + 1) * ws, :
-            ] = qkvb_w.astype(dt).reshape(ws, ws, 3 * C)
+            ] = qkvb_w.astype(qkvb_s.dtype).reshape(ws, ws, 3 * C)
 
     qkvb = qkvb_s[...].reshape(S_tok, 3 * C)
     dwqkv_ref[...] += jax.lax.dot_general(
-        xs, qkvb, (((0,), (0,)), ((), ())),
+        xs, qkvb.astype(dt), (((0,), (0,)), ((), ())),
         preferred_element_type=f32,
     )
+    if qkvb.dtype == f32:
+        # f32 slab (C<=512, the production stages): bias grad summed once
+        # over the full slab — the exact round-2 graph, kept because the
+        # in-loop variant above measurably shifted Mosaic's scoped-VMEM
+        # schedule and OOM'd stage 2 (C=512, batch 64) by 764 KB
+        dbqkv_ref[...] += jnp.sum(qkvb, axis=0, keepdims=True)
     xb = h1b + jax.lax.dot_general(
-        qkvb, wqkv_ref[:], (((1,), (1,)), ((), ())),
+        qkvb.astype(dt), wqkv_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=f32,
     )
     if shift:
@@ -1080,7 +1088,10 @@ def _pallas_backward(
             pltpu.VMEM((S_tok, Ch), x.dtype),             # m1
             pltpu.VMEM((S_tok, Ch), x.dtype),             # gelu(m1)
             pltpu.VMEM((S_tok, C), f32),                  # m2
-            pltpu.VMEM((RR * ws, Wb, 3 * C), x.dtype),    # qkv grad slab
+            # f32 slab for the production stages (C<=512, round-2-proven
+            # schedule); dt slab only in the C>512 fit mode (see _bwd_kernel)
+            pltpu.VMEM((RR * ws, Wb, 3 * C),
+                       f32 if C <= 512 else x.dtype),     # qkv grad slab
         ],
         interpret=interpret,
         # grad accumulation across grid steps requires sequential revisiting
