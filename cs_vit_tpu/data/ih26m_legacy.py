@@ -29,6 +29,22 @@ import numpy as np
 from ..ops.resample import crop_with_square_box_np
 from .dexycb import load_image_rgb
 
+# Two-hand MANO joint order (ref `utils/mano.py:175-217`): TARGET 21-joint
+# order per hand, right then left. Equal name SET to IH26M_42_JOINTS, so the
+# annotation->MANO reorder in transform_db_data is a pure permutation.
+TH_42_JOINTS = tuple(
+    f"{side}_{name}"
+    for side in ("R", "L")
+    for name in (
+        "Wrist",
+        "Thumb_1", "Thumb_2", "Thumb_3", "Thumb_4",
+        "Index_1", "Index_2", "Index_3", "Index_4",
+        "Middle_1", "Middle_2", "Middle_3", "Middle_4",
+        "Ring_1", "Ring_2", "Ring_3", "Ring_4",
+        "Pinky_1", "Pinky_2", "Pinky_3", "Pinky_4",
+    )
+)
+
 IH26M_42_JOINTS = tuple(
     f"{side}_{name}"
     for side in ("R", "L")
@@ -235,6 +251,211 @@ class InterHand26M:
 
     def __len__(self) -> int:
         return len(self.datalist)
+
+    def train_item(
+        self, ix: int, rng: Optional[np.random.Generator] = None,
+        hand_img_size: int = 256,
+    ) -> Dict:
+        """InterWild-style two-hand TRAIN item (ref `InterHand26M.py:346-596`).
+
+        Full-frame augmentation (scale/rot/color/flip) -> body patch,
+        heatmap-space hand bboxes, 42-joint 2.5D annotation + MANO GT
+        targets, and per-hand sub-crops — the training form consumed by the
+        two-hand InterWild model the reference vendors (but never trains;
+        kept for SURVEY §2.2 completeness). Returns the reference's
+        ``{"inputs", "targets", "meta_info"}`` triplet as one nested dict.
+        Hand crops are resized to ``hand_img_size`` (standing in for the
+        externally-supplied ``post_transform``) so items are collatable.
+        """
+        import copy as _copy
+
+        from ..mano.assets import find_and_load, fix_left_shapedirs
+        from .ih26m_legacy_aug import (
+            LegacyAugConfig, augmentation, crop_img, process_hand_bbox,
+            resize_img, transform_db_data, transform_mano_data,
+        )
+        from .mano_gt import ManoGTSynthesizer
+
+        cfg = LegacyAugConfig()
+        data = _copy.deepcopy(self.datalist[ix])
+        img_shape = data["img_shape"]
+        cam_param = data["cam_param"]
+        cam_param["t"] = cam_param["t"] / 1000.0  # mm -> m (ref :353)
+
+        img = load_image_rgb(data["img_path"], as_float=False)
+        body_xywh = np.asarray(data["body_bbox"], np.float32)
+        patch, img2bb_trans, bb2img_trans, rot, do_flip = augmentation(
+            img.astype(np.float32), body_xywh, self.data_split, rng=rng,
+            cfg=cfg,
+        )
+        patch = patch / 255.0  # ref's ToTensor + /255 (:360), kept HWC here
+
+        # hand bboxes -> heatmap space (+ flip side swap, ref :362-375)
+        lhand_bbox, lhand_valid = process_hand_bbox(
+            data["lhand_bbox"], do_flip, img_shape, img2bb_trans, cfg
+        )
+        rhand_bbox, rhand_valid = process_hand_bbox(
+            data["rhand_bbox"], do_flip, img_shape, img2bb_trans, cfg
+        )
+        if do_flip:
+            lhand_bbox, rhand_bbox = rhand_bbox, lhand_bbox
+            lhand_valid, rhand_valid = rhand_valid, lhand_valid
+        lhand_center = (lhand_bbox[0] + lhand_bbox[1]) / 2.0
+        rhand_center = (rhand_bbox[0] + rhand_bbox[1]) / 2.0
+        lhand_size = lhand_bbox[1] - lhand_bbox[0]
+        rhand_size = rhand_bbox[1] - rhand_bbox[0]
+        # heatmap -> input-patch pixel scale (ref :377-386; NB the reference
+        # names them height/width but both equal input/hm = 8 here)
+        scale_xy = np.asarray(
+            [cfg.input_img_shape[1] / cfg.output_body_hm_shape[2],
+             cfg.input_img_shape[0] / cfg.output_body_hm_shape[1]], np.float32,
+        )
+        lhand_center_input = lhand_center * scale_xy
+        rhand_center_input = rhand_center * scale_xy
+        lhand_size_input = lhand_size * scale_xy
+        rhand_size_input = rhand_size * scale_xy
+
+        # annotation joints -> root-relative 2.5D + augmented space (:388-422)
+        joint_cam = np.asarray(data["joint_cam"], np.float32) / 1000.0
+        joint_valid = np.asarray(data["joint_valid"], np.float32).reshape(-1, 1)
+        rel_trans = (
+            joint_cam[ROOT_IDX["left"]] - joint_cam[ROOT_IDX["right"]]
+        ).astype(np.float32)
+        rel_trans_valid = (
+            joint_valid[ROOT_IDX["left"]] * joint_valid[ROOT_IDX["right"]]
+        )
+        joint_cam = joint_cam.copy()
+        joint_cam[JOINT_TYPE["right"]] -= joint_cam[ROOT_IDX["right"], None]
+        joint_cam[JOINT_TYPE["left"]] -= joint_cam[ROOT_IDX["left"], None]
+        joint_img = np.concatenate(
+            [np.asarray(data["joint_img"], np.float32)[:, :2], joint_cam[:, 2:]], 1
+        )
+        flip_pairs = [(i, i + 21) for i in range(21)]
+        joint_img, joint_cam, joint_valid, joint_trunc, rel_trans = (
+            transform_db_data(
+                joint_img, joint_cam, joint_valid, rel_trans, do_flip,
+                img_shape, flip_pairs, img2bb_trans, rot, cfg,
+                src_names=IH26M_42_JOINTS, dst_names=TH_42_JOINTS,
+            )
+        )
+
+        # per-hand MANO GT (:424-500); dummies for absent hands
+        if not hasattr(self, "_mano_synth"):
+            right = find_and_load(is_rhand=True)
+            left = fix_left_shapedirs(find_and_load(is_rhand=False), right)
+            self._mano_synth = {
+                "right": ManoGTSynthesizer(right),
+                "left": ManoGTSynthesizer(left),
+            }
+        sides = {}
+        for h in ("right", "left"):
+            mp = data["mano_param"].get(h)
+            if mp is not None:
+                ji, jc, mc, pose, shape = self._mano_synth[h](
+                    mp, cam_param, do_flip, img_shape
+                )
+                sides[h] = dict(
+                    joint_img=ji.astype(np.float32),
+                    joint_cam=jc.astype(np.float32),
+                    mesh_cam=mc.astype(np.float32),
+                    pose=pose.astype(np.float32),
+                    shape=shape.astype(np.float32),
+                    joint_valid=np.ones((21, 1), np.float32),
+                    mesh_valid=np.ones((778, 1), np.float32),
+                    pose_valid=np.ones((16,), np.float32),
+                    shape_valid=np.ones((10,), np.float32),
+                )
+            else:
+                sides[h] = dict(
+                    joint_img=np.zeros((21, 2), np.float32),
+                    joint_cam=np.zeros((21, 3), np.float32),
+                    mesh_cam=np.zeros((778, 3), np.float32),
+                    pose=np.zeros((48,), np.float32),
+                    shape=np.zeros((10,), np.float32),
+                    joint_valid=np.zeros((21, 1), np.float32),
+                    mesh_valid=np.zeros((778, 1), np.float32),
+                    pose_valid=np.zeros((16,), np.float32),
+                    shape_valid=np.zeros((10,), np.float32),
+                )
+        if do_flip:  # change name when flip (:480-489)
+            sides["right"], sides["left"] = sides["left"], sides["right"]
+        cat = lambda k: np.concatenate([sides["right"][k], sides["left"][k]])  # noqa: E731
+        mano_joint_img = cat("joint_img")
+        mano_joint_cam = cat("joint_cam")
+        mano_mesh_cam = cat("mesh_cam")
+        mano_pose = cat("pose")
+        mano_shape = cat("shape")
+        mano_joint_valid = cat("joint_valid")
+        mano_mesh_valid = cat("mesh_valid")
+        mano_pose_valid = cat("pose_valid")
+        mano_shape_valid = cat("shape_valid")
+
+        # root-relative 2.5D MANO targets (:502-541)
+        TH_RIGHT, TH_LEFT = np.arange(0, 21), np.arange(21, 42)
+        mano_joint_img = np.concatenate(
+            [mano_joint_img, mano_joint_cam[:, 2:]], 1
+        )
+        mano_joint_img[TH_RIGHT, 2] -= mano_joint_cam[0, 2]
+        mano_joint_img[TH_LEFT, 2] -= mano_joint_cam[21, 2]
+        mano_mesh_cam = mano_mesh_cam.copy()
+        mano_mesh_cam[:778] -= mano_joint_cam[0, None]
+        mano_mesh_cam[778:] -= mano_joint_cam[21, None]
+        mano_joint_cam = mano_joint_cam.copy()
+        mano_joint_cam[TH_RIGHT] -= mano_joint_cam[0, None]
+        mano_joint_cam[TH_LEFT] -= mano_joint_cam[21, None]
+        (mano_joint_img, mano_joint_cam, mano_mesh_cam, mano_joint_trunc,
+         _, mano_pose) = transform_mano_data(
+            mano_joint_img, mano_joint_cam, mano_mesh_cam, mano_joint_valid,
+            np.zeros(3, np.float32), mano_pose, img2bb_trans, rot, cfg,
+        )
+
+        # per-hand sub-crops of the augmented patch (:543-557)
+        lhand_img = crop_img(
+            patch, lhand_center_input, lhand_size_input,
+            squarify=True, avoid_zero=True,
+        )
+        rhand_img = crop_img(
+            patch, rhand_center_input, rhand_size_input,
+            squarify=True, avoid_zero=True,
+        )
+
+        return {
+            "inputs": {
+                "img": patch.astype(np.float32),
+                "lhand_img": resize_img(lhand_img, (hand_img_size, hand_img_size)),
+                "rhand_img": resize_img(rhand_img, (hand_img_size, hand_img_size)),
+            },
+            "targets": {
+                "joint_img": joint_img,
+                "mano_joint_img": mano_joint_img,
+                "joint_cam": joint_cam,
+                "mano_mesh_cam": mano_mesh_cam,
+                "rel_trans": rel_trans,
+                "mano_pose": mano_pose,
+                "mano_shape": mano_shape,
+                "lhand_bbox_center": lhand_center,
+                "lhand_bbox_size": lhand_size,
+                "rhand_bbox_center": rhand_center,
+                "rhand_bbox_size": rhand_size,
+                "lhand_bbox_center_input": lhand_center_input,
+                "lhand_bbox_size_input": lhand_size_input,
+                "rhand_bbox_center_input": rhand_center_input,
+                "rhand_bbox_size_input": rhand_size_input,
+            },
+            "meta_info": {
+                "bb2img_trans": bb2img_trans,
+                "joint_valid": joint_valid,
+                "joint_trunc": joint_trunc,
+                "mano_joint_trunc": mano_joint_trunc,
+                "mano_mesh_valid": mano_mesh_valid,
+                "rel_trans_valid": rel_trans_valid,
+                "mano_pose_valid": mano_pose_valid,
+                "mano_shape_valid": mano_shape_valid,
+                "lhand_bbox_valid": lhand_valid,
+                "rhand_bbox_valid": rhand_valid,
+                "is_3D": 1.0,
+            },
+        }
 
     def __getitem__(self, ix: int) -> Dict:
         """Evaluation item: per-hand square crops + 42-joint GT arrays."""

@@ -119,17 +119,91 @@ def _truncation(joint_img, joint_valid, cfg: LegacyAugConfig):
     return (joint_valid * inside.reshape(-1, 1)).astype(np.float32)
 
 
+def process_hand_bbox(
+    bbox_xyxy, do_flip: bool, img_shape, img2bb_trans,
+    cfg: LegacyAugConfig = LegacyAugConfig(),
+):
+    """Hand bbox -> augmented heatmap space (ref `InterHand26M.py:297-341`).
+
+    ``bbox_xyxy`` is [4] (xmin, ymin, xmax, ymax) in the original image, or
+    None for an absent hand. Returns (bbox [2,2] tl/br in
+    output_body_hm_shape coords, valid flag): the four corners are pushed
+    through the crop affine, then re-boxed axis-aligned.
+    """
+    if bbox_xyxy is None:
+        return np.array([[0, 0], [1, 1]], np.float32), 0.0
+    xmin, ymin, xmax, ymax = np.asarray(bbox_xyxy, np.float32).reshape(4)
+    if do_flip:
+        # mirror then swap so xmin <= xmax again (ref :306-311)
+        xmin, xmax = img_shape[1] - xmax - 1, img_shape[1] - xmin - 1
+    corners = np.asarray(
+        [[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax]], np.float32
+    )
+    xy1 = np.concatenate([corners, np.ones((4, 1), np.float32)], 1)
+    corners = xy1 @ np.asarray(img2bb_trans, np.float32).T
+    corners[:, 0] *= cfg.output_body_hm_shape[2] / cfg.input_img_shape[1]
+    corners[:, 1] *= cfg.output_body_hm_shape[1] / cfg.input_img_shape[0]
+    out = np.asarray(
+        [[corners[:, 0].min(), corners[:, 1].min()],
+         [corners[:, 0].max(), corners[:, 1].max()]], np.float32
+    )
+    return out, 1.0
+
+
+def crop_img(img_hwc, bbox_center, bbox_size, squarify=True, avoid_zero=False):
+    """Sub-crop of an (augmented) patch at its own resolution
+    (ref `utils/preprocessing.py:60-88`; kornia crop_and_resize parity via
+    ops.resample). ``img_hwc`` is [H, W, 3] float; center/size are
+    (horizontal, vertical) pixel tuples. Output size equals the (squarified)
+    bbox size — variable per item, like the reference.
+    """
+    w_center, h_center = float(bbox_center[0]), float(bbox_center[1])
+    width, height = float(bbox_size[0]), float(bbox_size[1])
+    if squarify:
+        width = height = max(width, height)
+    if avoid_zero:
+        width = max(width, 2.0)
+        height = max(height, 2.0)
+    w_min, w_max = w_center - width / 2, w_center + width / 2
+    h_min, h_max = h_center - height / 2, h_center + height / 2
+    corners = np.asarray(
+        [[w_min, h_min], [w_max, h_min], [w_max, h_max], [w_min, h_max]],
+        np.float32,
+    )
+    from ..ops.resample import crop_and_resize_np
+
+    out = crop_and_resize_np(
+        np.ascontiguousarray(img_hwc, np.float32)[None], corners[None],
+        (int(height), int(width)),
+    )
+    return out[0]
+
+
+def resize_img(img_hwc, out_hw: Tuple[int, int]):
+    """Bilinear resize standing in for the reference's externally-supplied
+    ``post_transform`` (`InterHand26M.py:38,563`): items must be collatable,
+    so hand crops are resized to a fixed shape."""
+    return cv2.resize(
+        np.ascontiguousarray(img_hwc, np.float32),
+        (int(out_hw[1]), int(out_hw[0])), interpolation=cv2.INTER_LINEAR,
+    )
+
+
 def transform_db_data(
     joint_img, joint_cam, joint_valid, rel_trans,
     do_flip: bool, img_shape, flip_pairs: Sequence[Tuple[int, int]],
     img2bb_trans, rot_deg: float,
     cfg: LegacyAugConfig = LegacyAugConfig(),
+    src_names: Optional[Sequence[str]] = None,
+    dst_names: Optional[Sequence[str]] = None,
 ):
     """GT joints -> augmented crop/heatmap space (ref :233-270).
 
     joint_img is [J, 3] (u, v, root-relative depth); returns
-    (joint_img_hm, joint_cam, joint_valid, joint_trunc, rel_trans) in the
-    42-joint order (input already in IH26M_42_JOINTS order here).
+    (joint_img_hm, joint_cam, joint_valid, joint_trunc, rel_trans).
+    ``src_names``/``dst_names`` reorder the outputs between joint
+    conventions (ref `transform_joint_to_other_db`, equal name sets here so
+    it is a pure permutation); omitted = keep the input order.
     """
     joint_img = joint_img.copy()
     joint_cam = joint_cam.copy()
@@ -151,6 +225,12 @@ def transform_db_data(
 
     joint_img = _to_heatmap_space(joint_img, img2bb_trans, cfg)
     joint_trunc = _truncation(joint_img, joint_valid, cfg)
+    if src_names is not None and dst_names is not None:
+        from ..core.joints import reorder_indices
+
+        idx = reorder_indices(tuple(src_names), tuple(dst_names))
+        joint_img, joint_cam = joint_img[idx], joint_cam[idx]
+        joint_valid, joint_trunc = joint_valid[idx], joint_trunc[idx]
     return joint_img, joint_cam, joint_valid, joint_trunc, rel_trans
 
 

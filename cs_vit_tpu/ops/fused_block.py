@@ -54,7 +54,20 @@ _VARIANT = os.environ.get("FUSED_BLOCK_VARIANT", "")
 # bf16's relative rounding is a large absolute exponent error. Off by
 # default to preserve checkpoint-inference fidelity; flip on for pure
 # throughput (TPU A/B in BASELINE.md round 3).
-_BF16_SOFTMAX = bool(int(os.environ.get("FUSED_BLOCK_BF16_SOFTMAX", "0")))
+_BF16_SOFTMAX = bool(int(os.environ.get("FUSED_BLOCK_BF16_SOFTMAX", "0") or 0))
+
+
+def _env_int(name: str, default: int) -> int:
+    """Parse an int env knob without crashing every import on a bad value."""
+    raw = os.environ.get(name)
+    if raw is None or raw.strip() == "":
+        return default
+    try:
+        return int(raw)
+    except ValueError as e:
+        raise ValueError(
+            f"{name} must be an integer, got {raw!r}"
+        ) from e
 from typing import Optional
 
 import jax
@@ -62,6 +75,15 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+# Scoped-VMEM budgets handed to Mosaic (v5e/v5p have 128 MB/core). Module
+# globals (not literals at the call sites) so tools/vmem_gate.py can compile
+# every production geometry at a TIGHTENED limit and fail BEFORE the driver's
+# bench does when a kernel change pushes the compiled footprint over the
+# cliff (round 3: a dt-slab change OOM'd stage-2 bwd by 764 KB at bench time).
+_FWD_VMEM_LIMIT = 100 * 2**20
+_BWD_VMEM_LIMIT = 127 * 2**20
 
 
 def _erf(x):
@@ -843,7 +865,7 @@ def _pallas_forward(
         # well under the 128 MB/core physical VMEM of v5e/v5p.
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
-            vmem_limit_bytes=100 * 2**20,
+            vmem_limit_bytes=_FWD_VMEM_LIMIT,
         ),
         cost_estimate=pl.CostEstimate(
             flops=B * nH * nWj * flops_per_win,
@@ -1097,7 +1119,7 @@ def _pallas_backward(
         # grad accumulation across grid steps requires sequential revisiting
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=127 * 2**20,
+            vmem_limit_bytes=_BWD_VMEM_LIMIT,
         ),
     )(*operands)
 
@@ -1144,7 +1166,11 @@ def _pallas_backward(
 # runs 9.20 ms vs 6.59 ms on the XLA-remat path, so C=1024 deliberately
 # stays on XLA (2 of 24 blocks). Env override kept for re-probing on future
 # hardware with bigger VMEM (where multi-image slabs would fit).
-_PALLAS_BWD_MAX_DIM = int(os.environ.get("FUSED_BLOCK_BWD_MAX_DIM", "512"))
+# NB the two in-kernel `C <= 512` checks (dt qkv-grad slab dtype, one-image
+# tok cap) intentionally stay fixed while only this dispatch threshold is
+# overridable: they encode VMEM-fit facts about the kernel geometry, not the
+# fused-vs-XLA dispatch decision.
+_PALLAS_BWD_MAX_DIM = _env_int("FUSED_BLOCK_BWD_MAX_DIM", 512)
 
 
 def _fused_block_bwd(static, residuals, g):

@@ -50,6 +50,19 @@ def make_train_step(
     (and matches the reference's DDP gradient semantics,
     ref `scripts/finetune.py:133-135`).
     """
+    from ..ops import fused_block as _fb
+
+    if _fb._BF16_SOFTMAX:
+        # The flag changes only the Pallas FORWARD; the custom_vjp backward
+        # (and the XLA fallback) recompute scores/softmax in f32, so training
+        # with it on would take gradients of a different function than the
+        # executed forward. It is a serving-only throughput knob.
+        raise RuntimeError(
+            "FUSED_BLOCK_BF16_SOFTMAX=1 is inference-only: the fused-block "
+            "backward recomputes the softmax in f32, so gradients would not "
+            "match the executed forward. Unset it for training."
+        )
+
     data_parallel = mesh is not None and mesh.shape.get(DATA_AXIS, 1) > 1
 
     def loss_fn(params, batch_stats, batch, rng):

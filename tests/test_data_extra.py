@@ -123,6 +123,60 @@ def test_ih26m_legacy_aid_list(tmp_path):
     assert item["right_patch"].shape == (IMG, IMG, 3)
 
 
+def test_ih26m_legacy_train_item(tmp_path):
+    """Two-hand InterWild train-item assembly (ref `InterHand26M.py:346-596`):
+    body-patch augmentation, heatmap-space hand bboxes, 42-joint 2.5D +
+    MANO GT targets in TH order, per-hand sub-crops."""
+    from cs_vit_tpu.data import InterHand26M
+    from cs_vit_tpu.data.fixtures import make_synthetic_ih26m_legacy
+    from cs_vit_tpu.data.ih26m_legacy import IH26M_42_JOINTS, TH_42_JOINTS
+    from cs_vit_tpu.data.ih26m_legacy_aug import LegacyAugConfig
+    from cs_vit_tpu.core.joints import reorder_indices
+
+    root = make_synthetic_ih26m_legacy(str(tmp_path / "ih26m_legacy"))
+    ds = InterHand26M(root, "test", img_size=IMG)
+    cfg = LegacyAugConfig()
+
+    # eval split: deterministic path (scale 1, rot 0, no flip)
+    item = ds.train_item(0, hand_img_size=64)
+    inp, tgt, meta = item["inputs"], item["targets"], item["meta_info"]
+    assert inp["img"].shape == (*cfg.input_img_shape, 3)
+    assert inp["lhand_img"].shape == (64, 64, 3)
+    assert inp["rhand_img"].shape == (64, 64, 3)
+    assert tgt["joint_img"].shape == (42, 3)
+    assert tgt["mano_mesh_cam"].shape == (2 * 778, 3)
+    assert tgt["mano_pose"].shape == (96,)
+    assert meta["joint_trunc"].shape == (42, 1)
+    assert meta["lhand_bbox_valid"] == 1.0 and meta["rhand_bbox_valid"] == 1.0
+    for v in (tgt["joint_cam"], tgt["mano_joint_img"], tgt["rel_trans"]):
+        assert np.isfinite(np.asarray(v)).all()
+
+    # order change: outputs are TH (Wrist-first) reordered from IH26M
+    # annotation order; with no aug the cam joints are just the
+    # root-relative annotation joints permuted
+    idx = reorder_indices(IH26M_42_JOINTS, TH_42_JOINTS)
+    rec = ds.datalist[0]
+    jc = rec["joint_cam"].copy() / 1000.0
+    jc[:21] -= jc[IH26M_42_JOINTS.index("R_Wrist"), None]
+    jc[21:] -= jc[IH26M_42_JOINTS.index("L_Wrist"), None]
+    np.testing.assert_allclose(tgt["joint_cam"], jc[idx], atol=1e-5)
+    # TH wrists are rows 0 and 21
+    np.testing.assert_allclose(tgt["joint_cam"][0], 0.0, atol=1e-6)
+    np.testing.assert_allclose(tgt["joint_cam"][21], 0.0, atol=1e-6)
+
+    # train split: stochastic aug path runs and stays finite/in-range
+    ds.data_split = "train"
+    for seed in (0, 1):
+        item = ds.train_item(1, rng=np.random.default_rng(seed), hand_img_size=64)
+        assert item["inputs"]["img"].shape == (*cfg.input_img_shape, 3)
+        assert float(item["inputs"]["img"].min()) >= 0.0
+        assert float(item["inputs"]["img"].max()) <= 1.2  # color scale <= 1.2
+        assert np.isfinite(item["targets"]["joint_img"]).all()
+        assert np.isfinite(item["targets"]["mano_pose"]).all()
+        tr = item["meta_info"]["mano_joint_trunc"]
+        assert tr.shape == (42, 1) and set(np.unique(tr)) <= {0.0, 1.0}
+
+
 def test_mano_gt_synthesizer():
     from cs_vit_tpu.data.mano_gt import ManoGTSynthesizer
     from cs_vit_tpu.mano import synthetic_assets

@@ -142,6 +142,47 @@ def test_fused_backbone_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref), atol=3e-5, rtol=3e-5)
 
 
+def test_fused_block_grad_bf16_dt_slab(rng, monkeypatch):
+    """The C>512 backward fit mode (one-image slab + COMPUTE-DTYPE qkv-grad
+    slab with per-window f32 bias accumulation) never executes in the other
+    grad tests (all dim<=16, f32). Force it by raising the dispatch
+    threshold and check grads against the XLA path at bf16 tolerance.
+    Geometry mirrors Swin-B stage 3: single window, C=1024, hd=64."""
+    from cs_vit_tpu.ops import fused_block as fb
+
+    monkeypatch.setattr(fb, "_PALLAS_BWD_MAX_DIM", 1024)
+    res, ws, dim, heads, B = 4, 4, 1024, 16, 2
+    x = jnp.asarray(rng.normal(size=(B, res * res, dim)), jnp.bfloat16)
+    ref_block = _make_block("xla", res=res, ws=ws, shift=0, dim=dim, heads=heads)
+    fused_block = _make_block("fused", res=res, ws=ws, shift=0, dim=dim, heads=heads)
+    params = jax.tree.map(
+        lambda v: v.astype(jnp.bfloat16)
+        if jnp.issubdtype(v.dtype, jnp.floating) else v,
+        ref_block.init(jax.random.key(0), x),
+    )
+
+    def loss(block):
+        return lambda p, xx: jnp.sum(
+            block.apply(p, xx).astype(jnp.float32) ** 2
+        )
+
+    g_ref_p, g_ref_x = jax.grad(loss(ref_block), argnums=(0, 1))(params, x)
+    g_fus_p, g_fus_x = jax.grad(loss(fused_block), argnums=(0, 1))(params, x)
+
+    def close(a, b):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(np.abs(a).max(), 1e-6)
+        # bf16 forward + bf16 slab accumulation: advisor-measured worst
+        # param-grad rel err ~2.7% on this geometry; pin at 6%
+        assert np.abs(b - a).max() <= 6e-2 * scale, (
+            f"max abs err {np.abs(b - a).max():.3e} vs scale {scale:.3e}"
+        )
+
+    close(g_ref_x, g_fus_x)
+    jax.tree.map(close, g_ref_p, g_fus_p)
+
+
 def test_fused_block_bf16_softmax_budget(rng, monkeypatch):
     """Error budget of the opt-in bf16 score/softmax path (FUSED_BLOCK_
     BF16_SOFTMAX=1): the fused kernel rounds the [gs*L, L] scores to bf16

@@ -187,6 +187,75 @@ def test_sh_regressor_matches_reference_assembly():
     )
 
 
+def test_mano_pkl_roundtrip(assets, tmp_path):
+    """save_mano_pkl writes the official on-disk layout: loading it back
+    through the chumpy-tolerant parser reproduces every tensor, including
+    the [V,3,P]->[P,V*3] posedirs flattening and the uint32 root-parent
+    sentinel in kintree_table."""
+    from cs_vit_tpu.mano.assets import load_mano_pkl, save_mano_pkl
+
+    path = save_mano_pkl(assets, str(tmp_path / "MANO_RIGHT.pkl"))
+    back = load_mano_pkl(path, is_rhand=True)
+    np.testing.assert_allclose(back.v_template, assets.v_template, atol=1e-12)
+    np.testing.assert_allclose(back.shapedirs, assets.shapedirs, atol=1e-12)
+    np.testing.assert_allclose(back.posedirs, assets.posedirs, atol=1e-12)
+    np.testing.assert_allclose(back.j_regressor, assets.j_regressor, atol=1e-12)
+    np.testing.assert_allclose(back.lbs_weights, assets.lbs_weights, atol=1e-12)
+    np.testing.assert_allclose(back.hands_mean, assets.hands_mean, atol=1e-12)
+    np.testing.assert_allclose(
+        back.hands_components, assets.hands_components, atol=1e-12
+    )
+    np.testing.assert_array_equal(back.parents, assets.parents)
+    assert back.parents[0] == -1
+    np.testing.assert_array_equal(back.faces, assets.faces)
+
+
+def test_mano_layer_matches_smplx(assets, tmp_path):
+    """Cross-check the pure-JAX LBS against the ACTUAL smplx implementation
+    the reference uses (`cs_vit/utils/mano.py:35-52`,
+    `ti_poser.py:268-270`): serialize the synthetic assets into an
+    smplx-loadable MANO pickle and compare vertices/joints on the golden
+    input grid (pose_mean add, posedirs layout, LBS semantics). Needs no
+    licensed data — skipped only when smplx itself is not installed."""
+    import pytest
+
+    smplx = pytest.importorskip("smplx")
+    torch = pytest.importorskip("torch")
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from mano_golden import make_inputs
+
+    from cs_vit_tpu.mano import ManoLayer
+    from cs_vit_tpu.mano.assets import save_mano_pkl
+
+    path = save_mano_pkl(assets, str(tmp_path / "MANO_RIGHT.pkl"))
+    betas, global_orient, hand_pose = make_inputs(n=16, seed=0)
+
+    ref = smplx.create(
+        path, "mano", use_pca=False, flat_hand_mean=False, is_rhand=True,
+        batch_size=betas.shape[0],
+    )
+    with torch.no_grad():
+        out_ref = ref(
+            betas=torch.from_numpy(betas).float(),
+            global_orient=torch.from_numpy(global_orient).float(),
+            hand_pose=torch.from_numpy(hand_pose).float(),
+        )
+    layer = ManoLayer(assets, flat_hand_mean=False)
+    out = layer(
+        jnp.asarray(betas), jnp.asarray(global_orient), jnp.asarray(hand_pose)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["vertices"]), out_ref.vertices.numpy(), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["joints"])[:, :16],
+        out_ref.joints.numpy()[:, :16], atol=2e-5,
+    )
+
+
 def test_mano_golden_fixture():
     """Real-MANO golden outputs (generated by tools/mano_golden.py on a
     machine with the licensed pickle; see README 'MANO assets'). Skipped when

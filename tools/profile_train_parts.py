@@ -73,6 +73,14 @@ def main():
     ap.add_argument("--fullgrad", action="store_true",
                     help="also probe the full-model fwd+bwd (no optimizer) — "
                          "a 20+ min remote compile on degraded nights")
+    ap.add_argument("--combined", nargs="*", default=None,
+                    choices=["step", "noclip", "cliponly", "sgd"],
+                    help="probe fwd+bwd COMPOSED with optimizer variants in "
+                         "one graph (r4: step-(fullgrad+opt) residue was "
+                         "~16 ms — find where composition loses it). 'step' "
+                         "= clip+masked AdamW (the bench anchor), 'noclip' "
+                         "= masked AdamW only, 'cliponly' = clip only, "
+                         "'sgd' = bare sgd(1e-4)")
     args = ap.parse_args()
 
     import optax
@@ -206,7 +214,7 @@ def main():
     print(f"  decode-tail fwd+bwd          : {t*1e3:8.2f} ms")
 
     # --- 5. full-model fwd+bwd, no optimizer (opt-in: slow compile) -----
-    if not args.fullgrad:
+    if not args.fullgrad and not args.combined:
         return
 
     full_batch = {
@@ -239,20 +247,67 @@ def main():
 
     gstep = jax.value_and_grad(step_loss)
 
-    def body_full(i, tick, params):
-        loss, grads = gstep(
-            params,
-            full_batch["patches"]
-            + (tick * 1e-20).astype(full_batch["patches"].dtype),
-            jax.random.fold_in(jax.random.key(0), i),
-        )
-        acc = sum(
-            jnp.sum(g.astype(jnp.float32)) for g in jax.tree.leaves(grads)
-        )
-        return tick + loss * 0.0 + acc * 1e-20
+    if args.fullgrad:
+        def body_full(i, tick, params):
+            loss, grads = gstep(
+                params,
+                full_batch["patches"]
+                + (tick * 1e-20).astype(full_batch["patches"].dtype),
+                jax.random.fold_in(jax.random.key(0), i),
+            )
+            acc = sum(
+                jnp.sum(g.astype(jnp.float32)) for g in jax.tree.leaves(grads)
+            )
+            return tick + loss * 0.0 + acc * 1e-20
 
-    t = marginal(body_full, jnp.zeros((), jnp.float32), consts=(params0,))
-    print(f"  full fwd+bwd (no optimizer)  : {t*1e3:8.2f} ms")
+        t = marginal(body_full, jnp.zeros((), jnp.float32), consts=(params0,))
+        print(f"  full fwd+bwd (no optimizer)  : {t*1e3:8.2f} ms")
+
+    # --- 6. fwd+bwd COMPOSED with optimizer variants --------------------
+    # Same consts-as-args structure as the small probes, but the body runs
+    # grads -> tx.update -> apply in ONE graph (what bench_train measures
+    # minus its fori_loop state carry). Discriminates where the ~16 ms
+    # step-minus-parts residue lives.
+    for variant in (args.combined or ()):
+        if variant == "step":
+            txv = build_optimizer(params0, "spatial", 1e-4)
+        elif variant == "noclip":
+            from cs_vit_tpu.train.optim import build_optimizer as _bo
+
+            # masked AdamW without the clip stage: rebuild manually
+            from cs_vit_tpu.models.poser import phase_trainable_mask
+
+            mask = phase_trainable_mask(params0, "spatial")
+            txv = optax.masked(
+                optax.adamw(1e-4, weight_decay=0.01), mask
+            )
+        elif variant == "cliponly":
+            txv = optax.clip_by_global_norm(5.0)
+        else:  # sgd
+            txv = optax.sgd(1e-4)
+        optv = txv.init(params0)
+
+        def body_comb(i, tick, params, opt_in, _txv=txv):
+            loss, grads = gstep(
+                params,
+                full_batch["patches"]
+                + (tick * 1e-20).astype(full_batch["patches"].dtype),
+                jax.random.fold_in(jax.random.key(0), i),
+            )
+            updates, opt = _txv.update(grads, opt_in, params)
+            new_params = optax.apply_updates(params, updates)
+            acc = sum(
+                jnp.sum(l.astype(jnp.float32))
+                for t_ in (new_params, opt)
+                for l in jax.tree.leaves(t_)
+                if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+            )
+            return tick + loss * 0.0 + acc * 1e-20
+
+        t = marginal(
+            body_comb, jnp.zeros((), jnp.float32), consts=(params0, optv)
+        )
+        print(f"  fwd+bwd+opt[{variant:8s}]       : {t*1e3:8.2f} ms")
 
 
 if __name__ == "__main__":
