@@ -73,6 +73,10 @@ def main():
     ap.add_argument("--fullgrad", action="store_true",
                     help="also probe the full-model fwd+bwd (no optimizer) — "
                          "a 20+ min remote compile on degraded nights")
+    ap.add_argument("--skip-small", action="store_true",
+                    help="skip the four small probes (their r2 numbers stand: "
+                         "opt 5.84 / cast 1.40 / fk ~0 / tail 3.38 ms) and go "
+                         "straight to --fullgrad/--combined")
     ap.add_argument("--combined", nargs="*", default=None,
                     choices=["step", "noclip", "cliponly", "sgd"],
                     help="probe fwd+bwd COMPOSED with optimizer variants in "
@@ -105,6 +109,7 @@ def main():
     # (~2800 while-loop buffers) is what the degraded remote compiler
     # chokes on (>20 min / broken pipe). The full update still runs per
     # iteration because the output scalar depends on every updated leaf.
+    run_small = not args.skip_small
     tx = build_optimizer(params0, "spatial", 1e-4)
     opt0 = tx.init(params0)
     grads0 = jax.tree.map(lambda x: x * 1e-3, params0)
@@ -121,10 +126,11 @@ def main():
         )
         return tick + acc * 1e-20
 
-    t = marginal(
-        body_opt, jnp.zeros((), jnp.float32), consts=(params0, opt0, grads0)
-    )
-    print(f"  optimizer (clip+masked AdamW): {t*1e3:8.2f} ms")
+    if run_small:
+        t = marginal(
+            body_opt, jnp.zeros((), jnp.float32), consts=(params0, opt0, grads0)
+        )
+        print(f"  optimizer (clip+masked AdamW): {t*1e3:8.2f} ms")
 
     # --- 2. params f32 -> bf16 compute cast ----------------------------
     def body_cast(i, tick, params):
@@ -136,8 +142,9 @@ def main():
         acc = sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(p))
         return acc * 1e-20 + tick
 
-    t = marginal(body_cast, jnp.zeros((), jnp.float32), consts=(params0,))
-    print(f"  params f32->bf16 cast        : {t*1e3:8.2f} ms")
+    if run_small:
+        t = marginal(body_cast, jnp.zeros((), jnp.float32), consts=(params0,))
+        print(f"  params f32->bf16 cast        : {t*1e3:8.2f} ms")
 
     # --- 3. FK + criterion fwd+bwd -------------------------------------
     batch = {
@@ -173,8 +180,9 @@ def main():
         )
         return tick + sum(jnp.sum(x) for x in g) * 1e-20
 
-    t = marginal(body_fk, jnp.zeros((), jnp.float32), consts=(params0,))
-    print(f"  FK+criterion fwd+bwd         : {t*1e3:8.2f} ms")
+    if run_small:
+        t = marginal(body_fk, jnp.zeros((), jnp.float32), consts=(params0,))
+        print(f"  FK+criterion fwd+bwd         : {t*1e3:8.2f} ms")
 
     # --- 4. decode tail (spatial encoder + decoders) fwd+bwd ------------
     D = model.config.hidden_dim
@@ -210,8 +218,9 @@ def main():
         )
         return tick + sum(jnp.sum(x.astype(jnp.float32)) for x in g) * 1e-20
 
-    t = marginal(body_tail, jnp.zeros((), jnp.float32), consts=(params0,))
-    print(f"  decode-tail fwd+bwd          : {t*1e3:8.2f} ms")
+    if run_small:
+        t = marginal(body_tail, jnp.zeros((), jnp.float32), consts=(params0,))
+        print(f"  decode-tail fwd+bwd          : {t*1e3:8.2f} ms")
 
     # --- 5. full-model fwd+bwd, no optimizer (opt-in: slow compile) -----
     if not args.fullgrad and not args.combined:
