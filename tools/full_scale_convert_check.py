@@ -47,6 +47,18 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        # The axon plugin can have already won the backend-init race at
+        # interpreter boot (sitecustomize pre-imports jax); drop cached
+        # clients so re-init honors jax_platforms=cpu (same guard as
+        # tests/conftest.py — a silent TPU run here fails pose_aa parity at
+        # 1e-4: MXU default-precision f32 + 6D->axis-angle amplification).
+        if jax.default_backend() != "cpu":
+            try:
+                from jax.extend.backend import clear_backends
+            except ImportError:  # older jax
+                clear_backends = jax.clear_backends
+            clear_backends()
+        assert jax.default_backend() == "cpu", jax.default_backend()
 
     import numpy as np
     import torch
@@ -59,7 +71,10 @@ def main():
 
     from cs_vit_tpu.models import Poser, PoserConfig
     from cs_vit_tpu.models.swinv2 import SwinV2Config
-    from cs_vit_tpu.train.checkpoint import restore_checkpoint
+    from cs_vit_tpu.train.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+    )
 
     ti_poser = import_reference("net.ti_poser")
 
@@ -114,13 +129,48 @@ def main():
 
     out_dir = os.path.join(work, "orbax")
     convert_main(ckpt_pt, cfg_json, out_dir)
-    loaded = restore_checkpoint(out_dir)
+    loaded = restore_checkpoint(latest_checkpoint(out_dir))
     print(f"[3/5] orbax restore ok "
           f"({len(list(loaded['params'].keys()))} top-level param groups)")
 
     # 4. torch forward on one batch ---------------------------------------
     rng = np.random.default_rng(0)
     B, T, img = args.batch, 1, FULL["image_size"]
+
+    # num_latent_layer=2 draws a random scale/rotation per sample at predict
+    # time on BOTH sides; pin the draws to identical values (the pattern of
+    # tests/test_poser_full_graph.py::test_poser_full_graph_latent2x) so the
+    # transformed output half is comparable.
+    import jax
+
+    scale_raw = (rng.uniform(-0.25, 0.25, size=B)).astype(np.float32)
+    angle_u = rng.uniform(0.05, 0.95, size=B).astype(np.float32)
+    _orig_randn, _orig_rand = torch.randn, torch.rand
+
+    def _fake_randn(*a, size=None, **kw):
+        if size == (B,):
+            return torch.from_numpy(scale_raw.copy())
+        return _orig_randn(*a, size=size, **kw)
+
+    def _fake_rand(*a, size=None, **kw):
+        if size == (B,):
+            return torch.from_numpy(angle_u.copy())
+        return _orig_rand(*a, size=size, **kw)
+
+    torch.randn, torch.rand = _fake_randn, _fake_rand
+    _orig_jnormal, _orig_juniform = jax.random.normal, jax.random.uniform
+
+    def _fake_jnormal(key, shape=(), dtype=jnp.float32):
+        if tuple(shape) == (B,):
+            return jnp.asarray(scale_raw)
+        return _orig_jnormal(key, shape, dtype)
+
+    def _fake_juniform(key, shape=(), dtype=jnp.float32, minval=0.0, maxval=1.0):
+        if tuple(shape) == (B,):
+            return jnp.asarray(angle_u)
+        return _orig_juniform(key, shape, dtype, minval, maxval)
+
+    jax.random.normal, jax.random.uniform = _fake_jnormal, _fake_juniform
     imgs = rng.uniform(size=(B, T, 3, img, img)).astype(np.float32)
     bboxes = np.stack([
         rng.uniform(50, 120, size=(B, T)), rng.uniform(60, 130, size=(B, T)),
@@ -158,8 +208,14 @@ def main():
 
     @jax.jit
     def predict(v, im, bb, tt, fo, pp):
+        # num_latent_layer>0 samples latent perspective augmentations even at
+        # predict time (matching the reference's predict_batch); the torch
+        # side runs with torch.manual_seed so both draws are exercised, and
+        # the latent group's predict path is rotation-averaged (un-rotated),
+        # so outputs agree regardless of the draw.
         return ours.apply(v, im, bb, tt, fo, pp, "inference",
-                          method=ours.predict)
+                          method=ours.predict,
+                          rngs={"latent": jax.random.key(0)})
 
     t0 = time.time()
     got = {k: np.asarray(v) for k, v in predict(
