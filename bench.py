@@ -200,7 +200,7 @@ def bench_train(model, variables, batch, iters, phase="spatial", compute_dtype=N
 
 
 def bench_train_dispatch(model, variables, batch, iters, phase="spatial",
-                         compute_dtype=None):
+                         compute_dtype=None, nan_skip=True):
     """Training-step throughput timed the way production runs it: ONE jitted
     `make_train_step` (the real step, incl. the in-graph NaN-skip lax.cond),
     dispatched sequentially from a python loop with donated state.
@@ -221,7 +221,7 @@ def bench_train_dispatch(model, variables, batch, iters, phase="spatial",
         tx,
     )
     step = make_train_step(model, tx, phase, donate=True,
-                           compute_dtype=compute_dtype)
+                           compute_dtype=compute_dtype, nan_skip=nan_skip)
     rng = jax.random.key(0)
     keys = jax.random.split(rng, 8 * (iters + 2))  # 3 timed pairs + warmup
     ki = 0
@@ -300,6 +300,12 @@ def main():
                     help="chain = in-graph fori_loop carry (r2/r3 numbers); "
                          "dispatch = sequential donated dispatch of the real "
                          "make_train_step (production composition)")
+    ap.add_argument("--train-nan-skip", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="dispatch mode: include the in-graph NaN-skip "
+                         "lax.cond (production default). --no-train-nan-skip "
+                         "benches the unconditional update to attribute the "
+                         "cond's cost")
     ap.add_argument("--train-batch", type=int, default=64,
                     help="train-step batch (fixed, not tied to --batch, so "
                          "the measured operating point stays comparable)")
@@ -422,7 +428,8 @@ def main():
                       f"{tb / t_chain:.1f} crops/s")
             if args.train_timing in ("dispatch", "both"):
                 t_disp = bench_train_dispatch(
-                    model, variables, train_batch, iters_t, compute_dtype=cdt)
+                    model, variables, train_batch, iters_t, compute_dtype=cdt,
+                    nan_skip=args.train_nan_skip)
                 print(f"# train step (spatial, {label}, batch {tb}, dispatch): "
                       f"{tb / t_disp:.1f} crops/s")
             t_train = t_disp if args.train_timing == "dispatch" else t_chain

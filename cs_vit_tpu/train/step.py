@@ -32,6 +32,7 @@ def make_train_step(
     donate: bool = True,
     compute_dtype=None,
     mesh: Optional[Mesh] = None,
+    nan_skip: bool = True,
 ) -> Callable[[TrainState, Dict, jnp.ndarray], Tuple[TrainState, Dict]]:
     """Build the jitted train step for `phase` ('spatial' | 'temporal').
 
@@ -140,9 +141,16 @@ def make_train_step(
                 optax.global_norm(trainable),
             )
 
-        new_params, new_opt, stats, grad_norm = jax.lax.cond(
-            finite, do_update, skip_update, None
-        )
+        if nan_skip:
+            new_params, new_opt, stats, grad_norm = jax.lax.cond(
+                finite, do_update, skip_update, None
+            )
+        else:
+            # ``nan_skip=False``: unconditional update. Exact skip semantics
+            # (state untouched on a non-finite loss) require the branch; this
+            # knob exists for benchmarking its cost and for callers that
+            # guarantee finite losses.
+            new_params, new_opt, stats, grad_norm = do_update(None)
 
         new_state = state.replace(
             params=new_params,
