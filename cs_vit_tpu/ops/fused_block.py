@@ -282,10 +282,15 @@ def _block_body(
                 # heads stacked along rows, block-diagonal over column segments
                 qbd = jnp.broadcast_to(qn[None], (gs, L, GG)).reshape(gs * L, GG)
                 qbd = jnp.where(ridx == cidx2, qbd, jnp.zeros((), dt))
+                # Mosaic requires an f32 matmul accumulator (a bf16
+                # preferred_element_type fails to lower: "tpu.matmul ...
+                # vector<...xbf16>"); accumulate f32 and round once to st —
+                # the downstream bias/mask/exp passes still run at 16-bit
+                # width, which is where the VPU traffic lives.
                 s = jax.lax.dot_general(
                     qbd, kn, (((1,), (1,)), ((), ())),
-                    preferred_element_type=st,
-                )                                          # [gs*L, L]
+                    preferred_element_type=f32,
+                ).astype(st)                               # [gs*L, L]
                 # Static-shift softmax: relb_ref arrives pre-shifted by the
                 # per-head logit bound tau_h = scale_h + 16 (cosine scores
                 # satisfy s <= scale_h, the CPB bias is 16*sigmoid < 16, and
