@@ -295,20 +295,24 @@ def main():
     ap.add_argument("--train", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="bench the spatial train step (fwd+bwd+opt)")
-    ap.add_argument("--train-timing", default="chain",
+    ap.add_argument("--train-timing", default="dispatch",
                     choices=["chain", "dispatch", "both"],
-                    help="chain = in-graph fori_loop carry (r2/r3 numbers); "
-                         "dispatch = sequential donated dispatch of the real "
-                         "make_train_step (production composition)")
+                    help="dispatch (default since r4) = sequential donated "
+                         "dispatch of the real make_train_step (production "
+                         "composition); chain = in-graph fori_loop carry "
+                         "(the r2/r3 numbers — carries the full params+opt "
+                         "tree per iteration, ~16 ms/step of pure harness)")
     ap.add_argument("--train-nan-skip", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="dispatch mode: include the in-graph NaN-skip "
                          "lax.cond (production default). --no-train-nan-skip "
                          "benches the unconditional update to attribute the "
                          "cond's cost")
-    ap.add_argument("--train-batch", type=int, default=64,
+    ap.add_argument("--train-batch", type=int, default=128,
                     help="train-step batch (fixed, not tied to --batch, so "
-                         "the measured operating point stays comparable)")
+                         "the measured operating point stays comparable; "
+                         "128 is the measured r4 optimum: 465.0 vs 425.6 "
+                         "crops/s at 64, dispatch timing)")
     ap.add_argument("--train-temporal", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="bench the temporal-phase train step (T=7 full "
@@ -458,7 +462,9 @@ def main():
                 "joint_valid": jnp.ones((ttb, T, 21), jnp.float32),
                 "mano_shape": jnp.zeros((ttb, T, 10), jnp.float32),
             }
-            t_tt = bench_train(
+            bench_tt = (bench_train_dispatch
+                        if args.train_timing == "dispatch" else bench_train)
+            t_tt = bench_tt(
                 model, variables, tt_batch, max(args.iters // 2, 3),
                 phase="temporal",
                 compute_dtype=dtype if dtype == jnp.bfloat16 else None,

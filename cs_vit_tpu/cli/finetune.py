@@ -155,7 +155,9 @@ def main(cfg: FinetuneConfig, ckpt_root: str = "./checkpoints", log_every: int =
         loader.set_epoch(epoch)
         t_log = time.monotonic()
         meter = StepTimer(warmup=2)
-        for it, batch in enumerate(device_prefetch(loader, mesh)):
+        for it, batch in enumerate(
+            device_prefetch(loader, mesh, patches_dtype=compute_dtype)
+        ):
             rng, step_rng = jax.random.split(rng)
             state, metrics = train_step(state, batch, step_rng)
             meter.update(cfg.batch_size)

@@ -138,7 +138,12 @@ def main():
             s = state
             rng = jax.random.key(0)
             metrics = None
-            for i, batch in enumerate(device_prefetch(loader, mesh)):
+            # bf16 patches on the wire: the step casts in-graph anyway, so
+            # compute is bit-identical and H2D bytes halve (the link is the
+            # bottleneck on this rig: 42 MB/s tunnel, BASELINE.md round 4)
+            for i, batch in enumerate(
+                device_prefetch(loader, mesh, patches_dtype=jnp.bfloat16)
+            ):
                 rng, k = jax.random.split(rng)
                 s, metrics = step(s, batch, k)
                 if i + 1 >= n:
