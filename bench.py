@@ -308,18 +308,19 @@ def main():
                          "lax.cond (production default). --no-train-nan-skip "
                          "benches the unconditional update to attribute the "
                          "cond's cost")
-    ap.add_argument("--train-batch", type=int, default=128,
+    ap.add_argument("--train-batch", type=int, default=256,
                     help="train-step batch (fixed, not tied to --batch, so "
                          "the measured operating point stays comparable; "
-                         "128 is the measured r4 optimum: 465.0 vs 425.6 "
-                         "crops/s at 64, dispatch timing)")
+                         "256 is the measured r4 optimum: 484.9 vs 465.0 "
+                         "(b128) vs 425.6 (b64) crops/s, dispatch timing)")
     ap.add_argument("--train-temporal", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="bench the temporal-phase train step (T=7 full "
                          "supervision incl. smoothness loss; backbone frozen "
                          "+ stop-gradient as in training)")
-    ap.add_argument("--train-temporal-batch", type=int, default=8,
-                    help="temporal train clip batch (T=7)")
+    ap.add_argument("--train-temporal-batch", type=int, default=16,
+                    help="temporal train clip batch (T=7; 16 since r4 — "
+                         "see BASELINE.md temporal sweep)")
     ap.add_argument("--temporal-batch", type=int, default=16,
                     help="temporal clip batch (T=7)")
     ap.add_argument("--attn", default="fused",
