@@ -215,9 +215,15 @@ def bench_train_dispatch(model, variables, batch, iters, phase="spatial",
     from cs_vit_tpu.train import TrainState, build_optimizer, make_train_step
 
     tx = build_optimizer(variables["params"], phase, 1e-4)
+    # COPY the variable trees before creating the donated state:
+    # TrainState.create aliases them, and the first donated dispatch would
+    # otherwise invalidate the caller's `variables` (params AND batch_stats)
+    # for every subsequent sub-bench — the exact failure that cost BENCH_r04
+    # both temporal metrics (`INVALID_ARGUMENT: TPU backend error`).
     state = TrainState.create(
-        {"params": variables["params"],
-         "batch_stats": variables.get("batch_stats", {})},
+        jax.tree.map(jnp.copy,
+                     {"params": variables["params"],
+                      "batch_stats": variables.get("batch_stats", {})}),
         tx,
     )
     step = make_train_step(model, tx, phase, donate=True,
@@ -246,6 +252,61 @@ def bench_train_dispatch(model, variables, batch, iters, phase="spatial",
         tk = time.perf_counter() - t0
         best = min(best, max(tk - t1, 1e-9) / iters)
     return best
+
+
+def run_resilient(label, attempts, extra):
+    """Run the first (desc, thunk) attempt, retrying it once on failure, then
+    fall through the remaining fallback attempts once each. A capture must
+    never lose a metric to one bad dispatch (BENCH_r04 lost both temporal
+    numbers): any success after the first try marks the JSON `degraded`.
+
+    Returns (result, desc) on success, (None, None) after total failure
+    (recording `{label}_error`)."""
+    last_err = None
+    for i, (desc, thunk) in enumerate(attempts):
+        for attempt in range(2 if i == 0 else 1):
+            try:
+                out = thunk()
+                if i > 0 or attempt > 0:
+                    extra["degraded"] = True
+                    extra.setdefault("degraded_detail", []).append(
+                        f"{label}:{'retry' if i == 0 else desc}"
+                    )
+                return out, desc
+            except Exception as e:  # pragma: no cover - environment-dependent
+                last_err = e
+                print(f"# {label} attempt '{desc}' failed "
+                      f"({type(e).__name__}: {e})", flush=True)
+    extra[f"{label}_error"] = f"{type(last_err).__name__}: {last_err}"[:200]
+    return None, None
+
+
+def run_preflight(timeout_s=1500):
+    """Run tools/preflight.py (VMEM compile gate + fused-vs-XLA block parity)
+    in a subprocess so a wedged remote compile cannot hang the capture.
+    Returns the parsed result dict, or a {"status": ...} marker."""
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "preflight.py")
+    try:
+        proc = subprocess.run(
+            [sys.executable, script], capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return {"status": "timeout"}
+    for line in reversed(proc.stdout.strip().splitlines() or [""]):
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                break
+    return {"status": f"crash rc={proc.returncode}",
+            "stderr": proc.stderr.strip().splitlines()[-1][:200]
+            if proc.stderr.strip() else ""}
 
 
 def bench_host(num_workers: int, batch: int = 16):
@@ -323,6 +384,18 @@ def main():
                          "see BASELINE.md temporal sweep)")
     ap.add_argument("--temporal-batch", type=int, default=16,
                     help="temporal clip batch (T=7)")
+    ap.add_argument("--serve", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="also measure the batch-1 serving latency (ms) of "
+                         "the spatial predict path (headline for the "
+                         "serving-latency table, BASELINE.md)")
+    ap.add_argument("--preflight", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="run tools/preflight.py (VMEM compile gate + "
+                         "fused-vs-XLA block parity) in a subprocess before "
+                         "the timed sections; on a fused-kernel failure the "
+                         "capture degrades to attention_impl=xla instead of "
+                         "corrupting the timed run")
     ap.add_argument("--attn", default="fused",
                     choices=["xla", "pallas", "hybrid", "fused"],
                     help="fused = whole-block Pallas kernel (default; "
@@ -360,6 +433,17 @@ def main():
             )
         )
         return
+
+    preflight = None
+    if args.preflight and args.attn != "xla":
+        preflight = run_preflight()
+        print(f"# preflight: {json.dumps(preflight)}", flush=True)
+        if preflight.get("status") == "fail":
+            # broken fused kernel: degrade to XLA BEFORE spending compile
+            # time on a capture the kernel would corrupt
+            print("# preflight FAILED for the fused kernel; degrading to "
+                  "attention_impl=xla", flush=True)
+            args.attn = "xla"
 
     def setup_and_measure(attn_impl):
         cfg = FinetuneConfig(
@@ -407,96 +491,148 @@ def main():
         "attn_impl": attn_used,
         "dtype": args.dtype,
         "batch": args.batch,
+        **({"preflight": preflight} if preflight is not None else {}),
+        **({"degraded": True, "degraded_detail": ["predict:attn=xla"]}
+           if attn_used == "xla"
+           and (args.attn != "xla"
+                or (preflight or {}).get("status") == "fail") else {}),
         "ms_per_crop": round(1e3 * sec_per_step / args.batch, 4),
         "backbone_gflops_per_crop": round(flops_crop / 1e9, 1),
         "mfu": round(crops_per_sec * flops_crop / V5E_PEAK_BF16_FLOPS, 4),
     }
 
+    def make_train_batch(tb, T):
+        return {
+            **make_batch(tb, T, cfg.img_size, rng),
+            "joint_cam": jnp.asarray(
+                rng.normal(scale=20, size=(tb, T, 21, 3)) + [0, 0, 400],
+                jnp.float32,
+            ),
+            "joint_valid": jnp.ones((tb, T, 21), jnp.float32),
+            "mano_shape": jnp.zeros((tb, T, 10), jnp.float32),
+        }
+
+    cdt = dtype if dtype == jnp.bfloat16 else None
+    iters_t = max(args.iters // 2, 3)
+    label = "bf16" if dtype == jnp.bfloat16 else "f32"
+
     if args.train:
-        try:
-            tb = args.train_batch
-            train_batch = {
-                **make_batch(tb, 1, cfg.img_size, rng),
-                "joint_cam": jnp.asarray(
-                    rng.normal(scale=20, size=(tb, 1, 21, 3)) + [0, 0, 400], jnp.float32
-                ),
-                "joint_valid": jnp.ones((tb, 1, 21), jnp.float32),
-                "mano_shape": jnp.zeros((tb, 1, 10), jnp.float32),
-            }
-            cdt = dtype if dtype == jnp.bfloat16 else None
-            iters_t = max(args.iters // 2, 3)
-            label = "bf16" if dtype == jnp.bfloat16 else "f32"
-            if args.train_timing in ("chain", "both"):
-                t_chain = bench_train(model, variables, train_batch, iters_t,
-                                      compute_dtype=cdt)
-                print(f"# train step (spatial, {label}, batch {tb}, chain): "
-                      f"{tb / t_chain:.1f} crops/s")
-            if args.train_timing in ("dispatch", "both"):
-                t_disp = bench_train_dispatch(
-                    model, variables, train_batch, iters_t, compute_dtype=cdt,
-                    nan_skip=args.train_nan_skip)
-                print(f"# train step (spatial, {label}, batch {tb}, dispatch): "
-                      f"{tb / t_disp:.1f} crops/s")
-            t_train = t_disp if args.train_timing == "dispatch" else t_chain
+        def train_attempt(tb, timing):
+            def thunk():
+                train_batch = make_train_batch(tb, 1)
+                if timing == "dispatch":
+                    t = bench_train_dispatch(
+                        model, variables, train_batch, iters_t,
+                        compute_dtype=cdt, nan_skip=args.train_nan_skip)
+                else:
+                    t = bench_train(model, variables, train_batch, iters_t,
+                                    compute_dtype=cdt)
+                print(f"# train step (spatial, {label}, batch {tb}, "
+                      f"{timing}): {tb / t:.1f} crops/s", flush=True)
+                return tb, t
+            return f"{timing}-b{tb}", thunk
+
+        tb0 = args.train_batch
+        if args.train_timing == "chain":
+            attempts = [train_attempt(tb0, "chain"),
+                        train_attempt(max(tb0 // 2, 16), "chain")]
+        else:
             if args.train_timing == "both":
-                extra["train_crops_per_sec_dispatch"] = round(tb / t_disp, 2)
-            extra["train_timing"] = args.train_timing
+                # auxiliary chain number (the r2/r3 harness-inflated timing);
+                # the headline stays the dispatch (production) composition
+                res, _ = run_resilient(
+                    "train_chain", [train_attempt(tb0, "chain")], extra)
+                if res is not None:
+                    extra["train_crops_per_sec_chain"] = round(res[0] / res[1], 2)
+            attempts = [
+                train_attempt(tb0, "dispatch"),
+                train_attempt(max(tb0 // 2, 16), "dispatch"),
+                train_attempt(max(tb0 // 2, 16), "chain"),
+            ]
+        res, desc = run_resilient("train", attempts, extra)
+        if res is not None:
+            tb, t_train = res
+            extra["train_timing"] = desc
             extra["train_crops_per_sec"] = round(tb / t_train, 2)
             extra["train_batch"] = tb
             # fwd + bwd ~ 3x forward FLOPs for the trained backbone
             extra["train_mfu"] = round(
                 3.0 * (tb / t_train) * flops_crop / V5E_PEAK_BF16_FLOPS, 4
             )
-        except Exception as e:  # pragma: no cover - environment-dependent
-            # the ONE required JSON line (spatial predict) must still land
-            print(f"# train bench failed ({type(e).__name__}: {e})")
-            extra["train_error"] = f"{type(e).__name__}: {e}"[:200]
 
     if args.train_temporal:
-        try:
-            ttb, T = args.train_temporal_batch, 7
-            tt_batch = {
-                **make_batch(ttb, T, cfg.img_size, rng),
-                "joint_cam": jnp.asarray(
-                    rng.normal(scale=20, size=(ttb, T, 21, 3)) + [0, 0, 400], jnp.float32
-                ),
-                "joint_valid": jnp.ones((ttb, T, 21), jnp.float32),
-                "mano_shape": jnp.zeros((ttb, T, 10), jnp.float32),
-            }
-            bench_tt = (bench_train_dispatch
-                        if args.train_timing == "dispatch" else bench_train)
-            t_tt = bench_tt(
-                model, variables, tt_batch, max(args.iters // 2, 3),
-                phase="temporal",
-                compute_dtype=dtype if dtype == jnp.bfloat16 else None,
-            )
-            print(
-                f"# temporal train step (full supervision, T={T}, clip batch {ttb}): "
-                f"{ttb / t_tt:.2f} clips/s ({ttb * T / t_tt:.1f} frames/s)"
-            )
+        def tt_attempt(ttb, timing, T=7):
+            def thunk():
+                tt_batch = make_train_batch(ttb, T)
+                if timing == "dispatch":
+                    t = bench_train_dispatch(
+                        model, variables, tt_batch, iters_t, phase="temporal",
+                        compute_dtype=cdt, nan_skip=args.train_nan_skip)
+                else:
+                    t = bench_train(model, variables, tt_batch, iters_t,
+                                    phase="temporal", compute_dtype=cdt)
+                print(f"# temporal train step (full supervision, T={T}, clip "
+                      f"batch {ttb}, {timing}): {ttb / t:.2f} clips/s "
+                      f"({ttb * T / t:.1f} frames/s)", flush=True)
+                return ttb, t
+            return f"{timing}-b{ttb}", thunk
+
+        ttb0 = args.train_temporal_batch
+        timing0 = "chain" if args.train_timing == "chain" else "dispatch"
+        res, desc = run_resilient(
+            "train_temporal",
+            [tt_attempt(ttb0, timing0),
+             tt_attempt(max(ttb0 // 2, 4), timing0),
+             tt_attempt(max(ttb0 // 2, 4), "chain")],
+            extra,
+        )
+        if res is not None:
+            ttb, t_tt = res
             extra["train_temporal_clips_per_sec"] = round(ttb / t_tt, 2)
             extra["train_temporal_batch"] = ttb
-        except Exception as e:  # pragma: no cover - environment-dependent
-            print(f"# temporal train bench failed ({type(e).__name__}: {e})")
-            extra["train_temporal_error"] = f"{type(e).__name__}: {e}"[:200]
+            extra["train_temporal_timing"] = desc
+            # backbone frozen+stop-gradient in this phase: device work is
+            # B*T backbone FORWARDS + the (tiny) decode-tail fwd+bwd
+            extra["train_temporal_mfu"] = round(
+                (ttb * 7 / t_tt) * flops_crop / V5E_PEAK_BF16_FLOPS, 4
+            )
 
     if args.temporal:
-        try:
-            tbatch = make_batch(args.temporal_batch, 7, cfg.img_size, rng)
+        def temporal_attempt(B):
+            def thunk():
+                tbatch = make_batch(B, 7, cfg.img_size, rng)
+                if dtype == jnp.bfloat16:
+                    tbatch = {**tbatch,
+                              "patches": tbatch["patches"].astype(dtype)}
+                t = bench_predict(model, params, batch_stats, tbatch, iters_t)
+                print(f"# temporal T=7 clips/s: {B / t:.2f} "
+                      f"({B * 7 / t:.1f} frames/s)", flush=True)
+                return B, t
+            return f"b{B}", thunk
+
+        res, _ = run_resilient(
+            "temporal",
+            [temporal_attempt(args.temporal_batch),
+             temporal_attempt(max(args.temporal_batch // 2, 4))],
+            extra,
+        )
+        if res is not None:
+            B, t_sec = res
+            extra["temporal_clips_per_sec"] = round(B / t_sec, 2)
+            extra["temporal_frames_per_sec"] = round(B * 7 / t_sec, 1)
+
+    if args.serve:
+        def serve_attempt():
+            sbatch = make_batch(1, 1, cfg.img_size, rng)
             if dtype == jnp.bfloat16:
-                tbatch = {**tbatch, "patches": tbatch["patches"].astype(dtype)}
-            t_sec = bench_predict(model, params, batch_stats, tbatch, max(args.iters // 2, 3))
-            print(
-                f"# temporal T=7 clips/s: {tbatch['patches'].shape[0] / t_sec:.2f}"
-                f" ({tbatch['patches'].shape[0] * 7 / t_sec:.1f} frames/s)"
-            )
-            extra["temporal_clips_per_sec"] = round(tbatch["patches"].shape[0] / t_sec, 2)
-            extra["temporal_frames_per_sec"] = round(
-                tbatch["patches"].shape[0] * 7 / t_sec, 1
-            )
-        except Exception as e:  # pragma: no cover - environment-dependent
-            print(f"# temporal bench failed ({type(e).__name__}: {e})")
-            extra["temporal_error"] = f"{type(e).__name__}: {e}"[:200]
+                sbatch = {**sbatch, "patches": sbatch["patches"].astype(dtype)}
+            t = bench_predict(model, params, batch_stats, sbatch,
+                              max(args.iters, 20))
+            print(f"# serving latency b1: {t * 1e3:.2f} ms", flush=True)
+            return t
+        res, _ = run_resilient("serve", [("b1", serve_attempt)], extra)
+        if res is not None:
+            extra["serve_b1_ms"] = round(res * 1e3, 3)
 
     print(
         json.dumps(

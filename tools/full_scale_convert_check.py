@@ -157,7 +157,6 @@ def main():
             return torch.from_numpy(angle_u.copy())
         return _orig_rand(*a, size=size, **kw)
 
-    torch.randn, torch.rand = _fake_randn, _fake_rand
     _orig_jnormal, _orig_juniform = jax.random.normal, jax.random.uniform
 
     def _fake_jnormal(key, shape=(), dtype=jnp.float32):
@@ -170,7 +169,24 @@ def main():
             return jnp.asarray(angle_u)
         return _orig_juniform(key, shape, dtype, minval, maxval)
 
-    jax.random.normal, jax.random.uniform = _fake_jnormal, _fake_juniform
+    import contextlib
+
+    @contextlib.contextmanager
+    def pinned_latent_draws():
+        # The fakes intercept any (B,)-shaped draw: that shape appears only
+        # in the latent scale/angle sampling (`ti_vit.py:426,430` and our
+        # latent group's mirror) for today's graph. Scoped to exactly the
+        # two forwards so a future (B,)-shaped draw elsewhere (e.g. a new
+        # augmentation) cannot be silently pinned and mask real divergence.
+        torch.randn, torch.rand = _fake_randn, _fake_rand
+        jax.random.normal, jax.random.uniform = _fake_jnormal, _fake_juniform
+        try:
+            yield
+        finally:
+            torch.randn, torch.rand = _orig_randn, _orig_rand
+            jax.random.normal = _orig_jnormal
+            jax.random.uniform = _orig_juniform
+
     imgs = rng.uniform(size=(B, T, 3, img, img)).astype(np.float32)
     bboxes = np.stack([
         rng.uniform(50, 120, size=(B, T)), rng.uniform(60, 130, size=(B, T)),
@@ -180,7 +196,7 @@ def main():
     focal = rng.uniform(500, 700, size=(B, T, 2)).astype(np.float32)
     princpt = rng.uniform(300, 340, size=(B, T, 2)).astype(np.float32)
     t0 = time.time()
-    with torch.no_grad():
+    with pinned_latent_draws(), torch.no_grad():
         want = {k: v.numpy() for k, v in ref.predict_batch(
             torch.from_numpy(imgs), torch.from_numpy(bboxes.copy()),
             torch.from_numpy(ts), torch.from_numpy(focal),
@@ -218,11 +234,12 @@ def main():
                           rngs={"latent": jax.random.key(0)})
 
     t0 = time.time()
-    got = {k: np.asarray(v) for k, v in predict(
-        variables, jnp.asarray(imgs.transpose(0, 1, 3, 4, 2)),
-        jnp.asarray(bboxes), jnp.asarray(ts), jnp.asarray(focal),
-        jnp.asarray(princpt),
-    ).items()}
+    with pinned_latent_draws():
+        got = {k: np.asarray(v) for k, v in predict(
+            variables, jnp.asarray(imgs.transpose(0, 1, 3, 4, 2)),
+            jnp.asarray(bboxes), jnp.asarray(ts), jnp.asarray(focal),
+            jnp.asarray(princpt),
+        ).items()}
     print(f"[5/5] jax predict done ({time.time()-t0:.1f}s, "
           f"platform={jax.devices()[0].platform})")
 
