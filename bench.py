@@ -200,7 +200,8 @@ def bench_train(model, variables, batch, iters, phase="spatial", compute_dtype=N
 
 
 def bench_train_dispatch(model, variables, batch, iters, phase="spatial",
-                         compute_dtype=None, nan_skip=True):
+                         compute_dtype=None, nan_skip=True,
+                         nan_skip_impl="cond"):
     """Training-step throughput timed the way production runs it: ONE jitted
     `make_train_step` (the real step, incl. the in-graph NaN-skip lax.cond),
     dispatched sequentially from a python loop with donated state.
@@ -227,7 +228,8 @@ def bench_train_dispatch(model, variables, batch, iters, phase="spatial",
         tx,
     )
     step = make_train_step(model, tx, phase, donate=True,
-                           compute_dtype=compute_dtype, nan_skip=nan_skip)
+                           compute_dtype=compute_dtype, nan_skip=nan_skip,
+                           nan_skip_impl=nan_skip_impl)
     rng = jax.random.key(0)
     keys = jax.random.split(rng, 8 * (iters + 2))  # 3 timed pairs + warmup
     ki = 0
@@ -366,9 +368,15 @@ def main():
     ap.add_argument("--train-nan-skip", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="dispatch mode: include the in-graph NaN-skip "
-                         "lax.cond (production default). --no-train-nan-skip "
-                         "benches the unconditional update to attribute the "
-                         "cond's cost")
+                         "(production default). --no-train-nan-skip benches "
+                         "the unconditional update to attribute the skip's "
+                         "cost")
+    ap.add_argument("--train-nan-impl", default="cond",
+                    choices=["cond", "where"],
+                    help="NaN-skip implementation: 'cond' = lax.cond branch "
+                         "(exact reference semantics), 'where' = predicated "
+                         "per-leaf selects (no conditional regions; A/B in "
+                         "BASELINE.md r5)")
     ap.add_argument("--train-batch", type=int, default=256,
                     help="train-step batch (fixed, not tied to --batch, so "
                          "the measured operating point stays comparable; "
@@ -523,7 +531,8 @@ def main():
                 if timing == "dispatch":
                     t = bench_train_dispatch(
                         model, variables, train_batch, iters_t,
-                        compute_dtype=cdt, nan_skip=args.train_nan_skip)
+                        compute_dtype=cdt, nan_skip=args.train_nan_skip,
+                        nan_skip_impl=args.train_nan_impl)
                 else:
                     t = bench_train(model, variables, train_batch, iters_t,
                                     compute_dtype=cdt)
@@ -567,7 +576,8 @@ def main():
                 if timing == "dispatch":
                     t = bench_train_dispatch(
                         model, variables, tt_batch, iters_t, phase="temporal",
-                        compute_dtype=cdt, nan_skip=args.train_nan_skip)
+                        compute_dtype=cdt, nan_skip=args.train_nan_skip,
+                        nan_skip_impl=args.train_nan_impl)
                 else:
                     t = bench_train(model, variables, tt_batch, iters_t,
                                     phase="temporal", compute_dtype=cdt)

@@ -33,6 +33,7 @@ def make_train_step(
     compute_dtype=None,
     mesh: Optional[Mesh] = None,
     nan_skip: bool = True,
+    nan_skip_impl: str = "cond",
 ) -> Callable[[TrainState, Dict, jnp.ndarray], Tuple[TrainState, Dict]]:
     """Build the jitted train step for `phase` ('spatial' | 'temporal').
 
@@ -141,7 +142,33 @@ def make_train_step(
                 optax.global_norm(trainable),
             )
 
-        if nan_skip:
+        if nan_skip and nan_skip_impl == "where":
+            # Predicated skip: identical state semantics to the lax.cond
+            # branch, but expressed as per-leaf selects XLA fuses into the
+            # optimizer's own elementwise kernels — no conditional regions
+            # plumbing the ~2800-buffer params+opt tree (whose branch-copy
+            # cost is what the "cond" impl pays; A/B'd in BASELINE.md r5).
+            # Grads are zeroed first so a non-finite loss cannot poison the
+            # moments before the select discards them.
+            gz = jax.tree.map(
+                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+            )
+            updates, opt_new = tx.update(gz, state.opt_state, state.params)
+            params_new = optax.apply_updates(state.params, updates)
+            sel = lambda new, old: jax.tree.map(  # noqa: E731
+                lambda n, o: jnp.where(finite, n, o), new, old
+            )
+            new_params = sel(params_new, state.params)
+            new_opt = sel(opt_new, state.opt_state)
+            stats = sel(new_stats, state.batch_stats)
+            norm = last_grad_norm(opt_new)
+            if norm is None:  # tx without the stateful clip (tests)
+                norm = optax.global_norm(gz)
+            # on a skipped step the zeroed grads make the logged norm 0.0
+            # (the cond impl reports the non-finite raw norm there; both are
+            # diagnostic-only on a skipped step)
+            grad_norm = norm
+        elif nan_skip:
             new_params, new_opt, stats, grad_norm = jax.lax.cond(
                 finite, do_update, skip_update, None
             )

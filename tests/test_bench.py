@@ -68,7 +68,9 @@ def test_bench_sequence_spatial_then_temporal_then_predict(setup):
     temporal dispatch bench, then a predict from the same `variables`."""
     model, variables, batch, rng = setup
     t_sp = bench_mod.bench_train_dispatch(model, variables, batch, iters=1)
-    tbatch = {k: jnp.asarray(v) for k, v in tiny_batch(rng, B=2, T=3).items()}
+    # T=5: >=3 frames survive the realtime-supervision slicing (bench.py's
+    # production temporal bench runs T=7; 5 keeps this CPU test fast)
+    tbatch = {k: jnp.asarray(v) for k, v in tiny_batch(rng, B=2, T=5).items()}
     t_tt = bench_mod.bench_train_dispatch(
         model, variables, tbatch, iters=1, phase="temporal"
     )

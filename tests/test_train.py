@@ -96,6 +96,47 @@ def test_train_step_skips_nan_batch(setup_train):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_train_step_nan_skip_where_impl_matches_cond(setup_train):
+    """The predicated ('where') NaN-skip must reproduce the lax.cond impl:
+    identical accepted-step updates, identical untouched state on a
+    non-finite loss (BASELINE.md r5 A/B knob)."""
+    model, tx, state, batch = setup_train
+    cond_step = make_train_step(model, tx, "spatial", donate=False)
+    where_step = make_train_step(
+        model, tx, "spatial", donate=False, nan_skip_impl="where"
+    )
+
+    s_cond, m_cond = cond_step(state, batch, jax.random.key(3))
+    s_where, m_where = where_step(state, batch, jax.random.key(3))
+    assert float(m_where["skipped"]) == 0.0
+    np.testing.assert_allclose(
+        float(m_where["loss"]), float(m_cond["loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(m_where["grad_norm"]), float(m_cond["grad_norm"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree.leaves(s_cond.params), jax.tree.leaves(s_where.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        )
+
+    bad = dict(batch)
+    bad["joint_cam"] = batch["joint_cam"].at[0, 0, 0, 0].set(jnp.nan)
+    new_state, metrics = where_step(state, bad, jax.random.key(0))
+    assert float(metrics["skipped"]) == 1.0
+    assert int(new_state.step) == 0
+    for a, b in zip(
+        jax.tree.leaves(state.params), jax.tree.leaves(new_state.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree.leaves(state.opt_state), jax.tree.leaves(new_state.opt_state)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_train_step_data_parallel_8dev(setup_train):
     """Batch sharded over an 8-device mesh must match single-device results."""
     model, tx, state, batch = setup_train

@@ -36,6 +36,29 @@ sys.path.insert(0, _HERE)
 
 from vmem_gate import STAGES, PREDICT_BATCH, TRAIN_BATCH, build_fns, try_compile  # noqa: E402
 
+MARKER = os.path.join(os.path.dirname(_HERE), ".preflight_ok")
+# Everything the compiled kernels' fit/numerics can depend on: the kernel
+# source, the block wrapper that drives it, the gate geometries, this file,
+# and the runtime knobs that change what gets compiled.
+_HASH_FILES = ("cs_vit_tpu/ops/fused_block.py", "cs_vit_tpu/models/swinv2.py",
+               "tools/vmem_gate.py", "tools/preflight.py")
+_HASH_ENV = ("FUSED_BLOCK_BF16_SOFTMAX", "FUSED_BLOCK_VARIANT",
+             "FUSED_BLOCK_BWD_MAX_DIM")
+
+
+def digest() -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    root = os.path.dirname(_HERE)
+    for rel in _HASH_FILES:
+        with open(os.path.join(root, rel), "rb") as f:
+            h.update(f.read())
+    for k in _HASH_ENV:
+        h.update(f"{k}={os.environ.get(k, '')};".encode())
+    return h.hexdigest()
+
+
 PARITY_CASES = [
     # (res, ws, shift, dim, heads, B, check_bwd)
     (64, 16, 8, 128, 4, 4, False),   # shifted stage 0 (mask path)
@@ -123,7 +146,24 @@ def check_parity():
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--force", action="store_true",
+                    help="re-run even when the cached green marker matches")
+    args = ap.parse_args()
+
     t0 = time.time()
+    d = digest()
+    if not args.force and os.path.exists(MARKER):
+        try:
+            with open(MARKER) as f:
+                if f.read().strip() == d:
+                    print(json.dumps({"status": "ok", "cached": True,
+                                      "seconds": 0.0}))
+                    sys.exit(0)
+        except OSError:
+            pass
     try:
         vmem = check_vmem()
         parity = check_parity()
@@ -137,6 +177,14 @@ def main():
     except Exception as e:  # infra error, not a kernel verdict
         out = {"status": f"error: {type(e).__name__}: {e}"[:200],
                "seconds": round(time.time() - t0, 1)}
+    if out["status"] == "ok":
+        # green marker: same-digest future runs (the nightly driver bench)
+        # skip the ~4-25 min of standalone remote compiles; ANY change to
+        # the hashed kernel sources or knobs invalidates it.
+        with open(MARKER, "w") as f:
+            f.write(d + "\n")
+    elif os.path.exists(MARKER):
+        os.unlink(MARKER)
     print(json.dumps(out))
     sys.exit(0 if out["status"] == "ok" else 1)
 
