@@ -377,18 +377,20 @@ def main():
                          "(exact reference semantics), 'where' = predicated "
                          "per-leaf selects (no conditional regions; A/B in "
                          "BASELINE.md r5)")
-    ap.add_argument("--train-batch", type=int, default=256,
+    ap.add_argument("--train-batch", type=int, default=384,
                     help="train-step batch (fixed, not tied to --batch, so "
                          "the measured operating point stays comparable; "
-                         "256 is the measured r4 optimum: 484.9 vs 465.0 "
-                         "(b128) vs 425.6 (b64) crops/s, dispatch timing)")
+                         "384 is the measured r5 optimum: 493.9 vs 484.8 "
+                         "(b256) vs 465.0 (b128) crops/s, dispatch timing — "
+                         "see the BASELINE.md r5 sweep + ceiling note)")
     ap.add_argument("--train-temporal", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="bench the temporal-phase train step (T=7 full "
                          "supervision incl. smoothness loss; backbone frozen "
                          "+ stop-gradient as in training)")
-    ap.add_argument("--train-temporal-batch", type=int, default=16,
-                    help="temporal train clip batch (T=7; 16 since r4 — "
+    ap.add_argument("--train-temporal-batch", type=int, default=32,
+                    help="temporal train clip batch (T=7; 32 since r5: "
+                         "277.3 vs 265.3 (b16) vs 223.9 (b8) clips/s — "
                          "see BASELINE.md temporal sweep)")
     ap.add_argument("--temporal-batch", type=int, default=16,
                     help="temporal clip batch (T=7)")
