@@ -125,3 +125,25 @@ def test_run_resilient_fallback_and_total_failure():
         "t", [("primary", boom), ("half-batch", boom)], extra2)
     assert res is None and desc is None
     assert extra2["t_error"].startswith("RuntimeError")
+
+
+def test_run_resilient_dedupes_floor_batch_fallbacks():
+    """--train-batch at the floor makes the half-batch fallback collide with
+    the primary; the duplicate desc must be dropped, not re-run as a
+    mislabeled fallback."""
+    calls = {"n": 0}
+
+    def count_and_boom():
+        calls["n"] += 1
+        raise RuntimeError("dead")
+
+    extra = {}
+    res, _ = bench_mod.run_resilient(
+        "t",
+        [("dispatch-b16", count_and_boom), ("dispatch-b16", count_and_boom),
+         ("chain-b16", lambda: 9)],
+        extra,
+    )
+    assert res == 9
+    assert calls["n"] == 2  # primary retried once, duplicate never ran
+    assert extra["degraded_detail"] == ["t:chain-b16"]

@@ -13,11 +13,13 @@ a degraded remote-compile night costs seconds-to-minutes, not half an hour):
      tools/_tpu_parity_check.py established on real TPU.
 
 Prints ONE JSON line:
-  {"status": "ok"|"fail", "seconds": N, "vmem": [...], "parity": [...]}
-Exit 0 on ok, 1 on fail. bench.py runs this in a subprocess (with a
-timeout) before its timed sections and degrades to attention_impl=xla on
-"fail" — a deliberately-broken kernel fails HERE, visibly, instead of
-corrupting the driver's capture.
+  {"status": "ok"|"fail"|"error: ...", "seconds": N,
+   "vmem_fail": [...], "parity_fail": [...]}      # or {"cached": true}
+Exit 0 ok / 1 kernel fail / 2 infra error. bench.py runs this in a
+subprocess (with a timeout) before its timed sections and degrades to
+attention_impl=xla on "fail" (status or exit code 1) — a deliberately-
+broken kernel fails HERE, visibly, instead of corrupting the driver's
+capture.
 
 Needs the TPU tunnel (Mosaic VMEM limits are not enforced in CPU interpret
 mode).
@@ -183,10 +185,16 @@ def main():
         # the hashed kernel sources or knobs invalidates it.
         with open(MARKER, "w") as f:
             f.write(d + "\n")
-    elif os.path.exists(MARKER):
+    elif out["status"] == "fail" and os.path.exists(MARKER):
+        # a kernel VERDICT invalidates the marker; an infra "error:" (tunnel
+        # flake mid-gate) does NOT — the existing marker still certifies the
+        # unchanged digest from its own green run.
         os.unlink(MARKER)
     print(json.dumps(out))
-    sys.exit(0 if out["status"] == "ok" else 1)
+    # exit code carries the verdict even if stdout is garbled:
+    # 0 ok / 1 kernel fail / 2 infra error (bench degrades only on 1)
+    sys.exit(0 if out["status"] == "ok"
+             else 1 if out["status"] == "fail" else 2)
 
 
 if __name__ == "__main__":
